@@ -1,0 +1,25 @@
+"""fspann_tpu — TPU-native forward-secure encrypted ANN search framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the Java reference
+system FSPANN (Mehran-Memon/fspann-query-system).  The geometric routing core
+(LSH coding, greedy partition construction, multi-probe candidate generation,
+L2 refine + top-k) runs as batched device computations over dense ``[G, N]``
+arrays in TPU HBM; AES-256-GCM ciphertexts, the HMAC-derived versioned
+keystore, selective re-encryption and the metadata store stay host-side
+(C AES-NI kernels + an embedded append-only store).
+
+Core invariant preserved from the reference (README.md:79-99 of the
+reference): **routing–ciphertext orthogonality** — routing state is a pure
+function of (seed, config, sample statistics) and never depends on key or
+cipher state, so key rotation/re-encryption never rebuilds the device index.
+"""
+
+import jax
+
+# Routing keys are 63-bit sortable integers (reference:
+# index/paper/GreedyPartitioner.java:87-96).  We carry them as int64, which
+# XLA emulates on TPU; all floating point arrays in this package are
+# explicitly float32/bfloat16 so enabling x64 never widens compute dtypes.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,240 @@
+"""System configuration: JSON + named profile overrides + runtime flags.
+
+Mirrors the capability surface of the reference's config module
+(``config/src/main/java/com/fspann/config/SystemConfig.java``): a top-level
+config with nested ``paper`` / ``runtime`` / ``eval`` / ``ratio`` /
+``reencryption`` / ``output`` blocks, named profiles that override blocks,
+validation + clamping, and a provenance SHA-256 of the raw config file
+(reference ``api/ApiSystemConfig.java:42,73``).
+
+The TPU build treats the config as *static compile-time shape information*:
+``paper`` + ``runtime`` fields fix the shapes of every jitted routing
+computation, so a config change recompiles rather than re-branching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _clamp(v: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, v))
+
+
+@dataclass(frozen=True)
+class PaperConfig:
+    """LSH-coding hyperparameters (reference SystemConfig.PaperConfig:237-263)."""
+
+    m: int = 24          # projections per (table, division)
+    lam: int = 2         # bits kept per projection ("lambda")
+    divisions: int = 3
+    tables: int = 6
+    seed: int = 13
+    omega_divisor: float = 2.5  # data-adaptive bucket width = range / divisor
+
+    @property
+    def num_groups(self) -> int:
+        """G = tables * divisions — the leading axis of all routing arrays."""
+        return self.tables * self.divisions
+
+    @property
+    def code_bits(self) -> int:
+        return self.m * self.lam
+
+    @property
+    def code_words(self) -> int:
+        """uint32 words per packed code."""
+        return (self.code_bits + 31) // 32
+
+    def validate(self) -> None:
+        if self.m <= 0 or self.lam <= 0 or self.divisions <= 0 or self.tables <= 0:
+            raise ValueError(f"paper config must be positive: {self}")
+        if self.lam > 8:
+            raise ValueError("lambda > 8 unsupported (code would exceed sane width)")
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Query-time bounds (reference SystemConfig.RuntimeConfig:265-338)."""
+
+    refinement_limit: int = 20_000
+    max_global_candidates: int = 20_000
+    probe_override: int = -1          # -1 => default probes
+    default_probes: int = 5           # reference PartitionedIndexService.java:93
+    hamming_prefilter_threshold: int = 0  # 0 = disabled
+    block_size: int = 64              # greedy partition block size
+    retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
+
+    @property
+    def hard_cap(self) -> int:
+        """HARD_CAP = max(maxGlobalCandidates, refinementLimit) (ref index:479-482)."""
+        return max(self.max_global_candidates, self.refinement_limit)
+
+    def effective_probes(self) -> int:
+        return self.probe_override if self.probe_override > 0 else self.default_probes
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    k_variants: tuple[int, ...] = (1, 10, 20, 40, 60, 80, 100)
+
+    @property
+    def max_k(self) -> int:
+        return max(self.k_variants)
+
+
+@dataclass(frozen=True)
+class RatioConfig:
+    source: str = "auto"     # gt | base | auto
+    gt_sample: int = 100
+    gt_mismatch_tolerance: float = 1e-3
+
+
+@dataclass(frozen=True)
+class ReencryptionConfig:
+    enabled: bool = True
+    mode: str = "end"            # end | immediate
+    background_enabled: bool = False
+    background_interval_s: float = 5.0
+    background_batch: int = 2_000
+
+
+@dataclass(frozen=True)
+class KeyConfig:
+    ops_threshold: int = 1_000_000_000
+    age_threshold_ms: int = 999_999_999_999
+    retention_max: int = 5       # reference KeyManager.java:35
+
+
+@dataclass(frozen=True)
+class OutputConfig:
+    results_dir: str = "results"
+    export_artifacts: bool = True
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    paper: PaperConfig = field(default_factory=PaperConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    ratio: RatioConfig = field(default_factory=RatioConfig)
+    reencryption: ReencryptionConfig = field(default_factory=ReencryptionConfig)
+    keys: KeyConfig = field(default_factory=KeyConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    profile_name: str = ""
+    source_sha256: str = ""
+
+    def validate(self) -> "SystemConfig":
+        self.paper.validate()
+        rt = self.runtime
+        # Invariant from reference SystemConfig.java:121-127.
+        if rt.max_global_candidates < self.eval.max_k:
+            rt = dataclasses.replace(rt, max_global_candidates=self.eval.max_k)
+        rt = dataclasses.replace(
+            rt,
+            refinement_limit=_clamp(rt.refinement_limit, self.eval.max_k, 10_000_000),
+            block_size=_clamp(rt.block_size, 1, 1 << 16),
+        )
+        return dataclasses.replace(self, runtime=rt)
+
+
+# ----------------------------------------------------------------------------
+# JSON loading with profile overrides
+# ----------------------------------------------------------------------------
+
+_BLOCK_TYPES: dict[str, type] = {
+    "paper": PaperConfig,
+    "runtime": RuntimeConfig,
+    "eval": EvalConfig,
+    "ratio": RatioConfig,
+    "reencryption": ReencryptionConfig,
+    "keys": KeyConfig,
+    "output": OutputConfig,
+}
+
+# accepted JSON key aliases -> dataclass field names
+_FIELD_ALIASES = {
+    "lambda": "lam",
+    "refinementLimit": "refinement_limit",
+    "maxGlobalCandidates": "max_global_candidates",
+    "probeOverride": "probe_override",
+    "hammingPrefilterThreshold": "hamming_prefilter_threshold",
+    "blockSize": "block_size",
+    "kVariants": "k_variants",
+    "omegaDivisor": "omega_divisor",
+    "opsThreshold": "ops_threshold",
+    "ageThresholdMs": "age_threshold_ms",
+    "retentionMax": "retention_max",
+    "defaultProbes": "default_probes",
+    "retryProbes": "retry_probes",
+    "gtSample": "gt_sample",
+    "gtMismatchTolerance": "gt_mismatch_tolerance",
+    "resultsDir": "results_dir",
+    "exportArtifacts": "export_artifacts",
+    "backgroundEnabled": "background_enabled",
+    "backgroundIntervalS": "background_interval_s",
+    "backgroundBatch": "background_batch",
+}
+
+
+def _coerce_block(cls: type, base: Any, data: dict[str, Any]) -> Any:
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in data.items():
+        k = _FIELD_ALIASES.get(k, k)
+        if k not in names:
+            raise KeyError(f"unknown config field {k!r} for {cls.__name__}")
+        if k == "k_variants":
+            v = tuple(int(x) for x in v)
+        kwargs[k] = v
+    return dataclasses.replace(base, **kwargs)
+
+
+def _apply_blocks(cfg: SystemConfig, data: dict[str, Any]) -> SystemConfig:
+    updates: dict[str, Any] = {}
+    for block, cls in _BLOCK_TYPES.items():
+        if block in data and data[block] is not None:
+            updates[block] = _coerce_block(cls, getattr(cfg, block), data[block])
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_config(path: str | os.PathLike | None = None,
+                profile: str | None = None,
+                overrides: dict[str, Any] | None = None) -> SystemConfig:
+    """Load a SystemConfig from JSON with optional named profile + overrides.
+
+    JSON shape::
+
+        {"paper": {...}, "runtime": {...}, ...,
+         "profiles": {"P4_FAST": {"paper": {...}, "runtime": {...}}, ...}}
+
+    ``profile`` selects a named entry of ``profiles`` whose blocks are merged
+    on top of the base config (reference SystemConfig.java:129-182).
+    ``overrides`` is a final in-process layer of block dicts (the analogue of
+    the reference's -D system-property surface).
+    """
+    cfg = SystemConfig()
+    sha = ""
+    if path is not None:
+        raw = open(path, "rb").read()
+        sha = hashlib.sha256(raw).hexdigest()
+        data = json.loads(raw)
+        cfg = _apply_blocks(cfg, data)
+        if profile:
+            profiles = data.get("profiles", {})
+            if profile not in profiles:
+                raise KeyError(f"profile {profile!r} not found in {path}; "
+                               f"available: {sorted(profiles)}")
+            cfg = _apply_blocks(cfg, profiles[profile])
+    elif profile:
+        raise ValueError("profile requires a config path")
+    if overrides:
+        cfg = _apply_blocks(cfg, overrides)
+    cfg = dataclasses.replace(cfg, profile_name=profile or "", source_sha256=sha)
+    return cfg.validate()

@@ -1,0 +1,196 @@
+"""LSH coding (reference "Algorithm-1") as batched TPU matmuls + bit packing.
+
+Reference behavior being reproduced (index/paper/Coding.java):
+
+* A ``GFunction`` per (table, division) group ``g``: row-normalized Gaussian
+  projections ``alpha[g, m, d]``, offsets ``r[g, m] ∈ [0, ω)``, widths
+  ``omega[g, m] > 0`` (Coding.java:52-97).
+* ``H(v)_j = floor((alpha_j · v + r_j) / omega_j)`` (Coding.java:250-258).
+* ``C(v)`` = MSB-first bit-interleaved code of ``m*lam`` bits: position
+  ``p = l*m + j`` holds bit ``lam-1-l`` of ``H_j`` (Coding.java:285-301).
+  The reference XORs ``0x8000_0000`` before extraction; that flips only bit
+  31, which is never extracted for ``lam <= 8``, so it is a no-op we omit.
+* Data-adaptive widths: ``omega_j = projected_range_j / OMEGA_DIVISOR`` from a
+  sample (Coding.java:184-241, divisor 2.5).
+* 63-bit sortable key: code bit ``p`` → key bit ``62-p``, ``p < 63``
+  (GreedyPartitioner.java:87-96).
+
+TPU-first design: the whole bank is one tensor, so coding N vectors for all
+G = tables*divisions groups is a single ``[N,d] x [d, G*m]`` matmul that tiles
+onto the MXU, followed by vectorized packing on the VPU.  Codes are packed
+MSB-first into uint32 words so that (a) Hamming distance is XOR+popcount on
+words and (b) the int64 sort key is two shifts away.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("alpha", "r", "omega"),
+         meta_fields=("m", "lam", "tables", "divisions", "seed"))
+@dataclasses.dataclass(frozen=True)
+class GBank:
+    """All G = tables*divisions hash functions as one pytree.
+
+    Replaces the reference's global mutable ``GFunctionRegistry`` singleton
+    (index/paper/GFunctionRegistry.java) with an immutable value that is a
+    deterministic function of ``(seed, m, lam, tables, divisions, sample)``.
+    The integer hyperparameters are pytree metadata (static under ``jit``).
+    """
+
+    alpha: jax.Array   # f32 [G, m, d]  row-normalized Gaussian projections
+    r: jax.Array       # f32 [G, m]     offsets in [0, omega)
+    omega: jax.Array   # f32 [G, m]     bucket widths > 0
+    m: int
+    lam: int
+    tables: int
+    divisions: int
+    seed: int
+
+    @property
+    def g(self) -> int:
+        return self.tables * self.divisions
+
+    @property
+    def d(self) -> int:
+        return self.alpha.shape[-1]
+
+    @property
+    def code_bits(self) -> int:
+        return self.m * self.lam
+
+    @property
+    def code_words(self) -> int:
+        return (self.code_bits + 31) // 32
+
+
+def _alpha_from_seed(seed: int, g: int, m: int, d: int) -> jax.Array:
+    key = jax.random.fold_in(jax.random.PRNGKey(np.uint32(seed)), 0x414C5048)
+    a = jax.random.normal(key, (g, m, d), dtype=jnp.float32)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True), 1e-12))
+    return a / norm
+
+
+def _r_unit_from_seed(seed: int, g: int, m: int) -> jax.Array:
+    key = jax.random.fold_in(jax.random.PRNGKey(np.uint32(seed)), 0x4F464653)
+    return jax.random.uniform(key, (g, m), dtype=jnp.float32)
+
+
+def build_random_bank(d: int, m: int, lam: int, tables: int, divisions: int,
+                      seed: int, omega: float = 1.0) -> GBank:
+    """Uniform-width bank when no sample statistics are available
+    (reference Coding.buildRandomG:136-161)."""
+    g = tables * divisions
+    alpha = _alpha_from_seed(seed, g, m, d)
+    om = jnp.full((g, m), jnp.float32(omega))
+    r = _r_unit_from_seed(seed, g, m) * om
+    return GBank(alpha, r, om, m, lam, tables, divisions, seed)
+
+
+@partial(jax.jit, static_argnames=("m", "lam", "tables", "divisions", "seed",
+                                   "omega_divisor"))
+def _bank_from_sample(sample: jax.Array, m: int, lam: int, tables: int,
+                      divisions: int, seed: int, omega_divisor: float) -> tuple:
+    g = tables * divisions
+    d = sample.shape[-1]
+    alpha = _alpha_from_seed(seed, g, m, d)
+    # [S, G, m] projections of the sample; one big MXU matmul.
+    proj = jnp.einsum("sd,gmd->sgm", sample.astype(jnp.float32), alpha,
+                      precision=jax.lax.Precision.HIGHEST)
+    rng = jnp.max(proj, axis=0) - jnp.min(proj, axis=0)          # [G, m]
+    omega = jnp.maximum(rng, 1e-6) / jnp.float32(omega_divisor)  # ref :224-236
+    omega = jnp.where(omega > 0, omega, 1e-3)
+    r = _r_unit_from_seed(seed, g, m) * omega
+    return alpha, r, omega
+
+
+def build_bank_from_sample(sample: np.ndarray | jax.Array, m: int, lam: int,
+                           tables: int, divisions: int, seed: int,
+                           omega_divisor: float = 2.5) -> GBank:
+    """Data-adaptive bank (reference Coding.buildFromSample:184-241)."""
+    alpha, r, omega = _bank_from_sample(jnp.asarray(sample, jnp.float32),
+                                        m, lam, tables, divisions, seed,
+                                        omega_divisor)
+    return GBank(alpha, r, omega, m, lam, tables, divisions, seed)
+
+
+def bank_from_stats(omega: np.ndarray, r: np.ndarray, d: int, m: int, lam: int,
+                    tables: int, divisions: int, seed: int) -> GBank:
+    """Rebuild a bank from persisted (omega, r) stats + seed — the checkpoint
+    path: alpha is regenerated from the seed, stats are exact."""
+    g = tables * divisions
+    alpha = _alpha_from_seed(seed, g, m, d)
+    return GBank(alpha, jnp.asarray(r, jnp.float32),
+                 jnp.asarray(omega, jnp.float32), m, lam, tables, divisions,
+                 seed)
+
+
+# ----------------------------------------------------------------------------
+# Coding kernels
+# ----------------------------------------------------------------------------
+
+def project_h(x: jax.Array, bank: GBank) -> jax.Array:
+    """``H`` for a batch: int32 [N, G, m] (reference Coding.H:250-258)."""
+    y = jnp.einsum("nd,gmd->ngm", x.astype(jnp.float32), bank.alpha,
+                   precision=jax.lax.Precision.HIGHEST)
+    h = jnp.floor((y + bank.r) / bank.omega)
+    return h.astype(jnp.int32)
+
+
+def pack_codes(h: jax.Array, m: int, lam: int) -> jax.Array:
+    """Interleave + pack ``H`` into uint32 words, MSB-first.
+
+    Position ``p = l*m + j`` (level l = 0 is the most significant bit of each
+    h_j) is stored at bit ``31 - p%32`` of word ``p//32``, so word-wise
+    unsigned lexicographic order == code prefix order.
+    Output: uint32 [..., W].
+    """
+    bits_total = m * lam
+    w = (bits_total + 31) // 32
+    hu = h.astype(jnp.uint32)
+    # levels l = 0..lam-1 extract bit lam-1-l of each h_j  -> [..., lam, m]
+    shifts = jnp.arange(lam - 1, -1, -1, dtype=jnp.uint32)
+    bits = (hu[..., None, :] >> shifts[:, None]) & jnp.uint32(1)
+    bits = bits.reshape(*h.shape[:-1], bits_total)
+    pad = w * 32 - bits_total
+    if pad:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    bits = bits.reshape(*h.shape[:-1], w, 32)
+    weights = (jnp.uint32(1) << (jnp.uint32(31) - jnp.arange(32, dtype=jnp.uint32)))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+
+
+def keys_from_codes(codes: jax.Array) -> jax.Array:
+    """63-bit sortable key from packed code words
+    (reference GreedyPartitioner.computeKey:87-96).
+
+    key bit ``62-p`` = code bit ``p`` for ``p < 63``; with MSB-first packing
+    this is ``(w0 << 31) | (w1 >> 1)``.
+    """
+    w0 = codes[..., 0].astype(jnp.int64)
+    if codes.shape[-1] > 1:
+        w1 = codes[..., 1].astype(jnp.int64)
+        return (w0 << 31) | (w1 >> 1)
+    return w0 << 31
+
+
+@partial(jax.jit, static_argnames=())
+def encode(x: jax.Array, bank: GBank) -> tuple[jax.Array, jax.Array]:
+    """Full coding pipeline: vectors → (packed codes, sort keys).
+
+    Returns ``codes: uint32 [N, G, W]`` and ``keys: int64 [N, G]``.
+    Replaces the reference's per-vector ``Coding.C`` loops
+    (PartitionedIndexService.java:331-346 hot loop) with one MXU matmul and
+    VPU packing for the whole batch across all tables and divisions.
+    """
+    h = project_h(x, bank)
+    codes = pack_codes(h, bank.m, bank.lam)
+    keys = keys_from_codes(codes)
+    return codes, keys

@@ -1,0 +1,99 @@
+"""Greedy partition construction (reference "Algorithm-2") as device sorts.
+
+Reference behavior (index/paper/GreedyPartitioner.java:37-76): per (table,
+division) group, sort all (id, 63-bit key) pairs by key, chop into fixed
+blocks of ``blockSize``, and record per block {minKey, maxKey, repCode =
+median element's code, ids}.
+
+TPU-first: all G groups build in one ``jax.lax.sort`` call over a ``[G, N]``
+batch (XLA batches the sort across the leading axis), then block statistics
+are reshapes + reductions.  The per-point object soup becomes four dense
+arrays that live in HBM for the life of the index.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INT64_MAX = jnp.iinfo(jnp.int64).max
+
+
+class PartitionTable(NamedTuple):
+    """Dense partition layout for all groups.
+
+    ``P = ceil(N / block)`` partitions per group; the final partition of each
+    group may be partial (``counts`` < block) and is padded with id ``-1`` /
+    key ``INT64_MAX``.
+    """
+
+    min_key: jax.Array    # int64 [G, P]
+    max_key: jax.Array    # int64 [G, P]
+    rep_codes: jax.Array  # uint32 [G, P, W]  median element's packed code
+    ids: jax.Array        # int32 [G, P, B]   vector ids, -1 = pad
+    counts: jax.Array     # int32 [G, P]      valid ids per block
+
+    @property
+    def num_groups(self) -> int:
+        return self.ids.shape[0]
+
+    @property
+    def num_partitions(self) -> int:
+        return self.ids.shape[1]
+
+    @property
+    def block_size(self) -> int:
+        return self.ids.shape[2]
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def build_partitions(keys: jax.Array, codes: jax.Array,
+                     block_size: int = 64) -> PartitionTable:
+    """Build the partition table for all groups at once.
+
+    Args:
+      keys:  int64 ``[G, N]`` sortable routing keys (coding.keys_from_codes).
+      codes: uint32 ``[G, N, W]`` packed codes (for repCode extraction).
+      block_size: ids per partition (reference uses 64,
+        PartitionedIndexService.java:412-425).
+    """
+    g, n = keys.shape
+    b = block_size
+    p = -(-n // b)
+    pad = p * b - n
+
+    ids0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (g, n))
+    # num_keys=2: ties in key break by id — deterministic (the reference's
+    # tie order is HashMap-iteration arbitrary; any fixed order is valid).
+    skeys, sids = jax.lax.sort((keys, ids0), dimension=-1, num_keys=2)
+    if pad:
+        skeys = jnp.pad(skeys, ((0, 0), (0, pad)), constant_values=INT64_MAX)
+        sids = jnp.pad(sids, ((0, 0), (0, pad)), constant_values=-1)
+
+    skeys = skeys.reshape(g, p, b)
+    sids = sids.reshape(g, p, b)
+
+    # Valid count per block: only the final block can be partial.
+    base = jnp.arange(p, dtype=jnp.int32) * b
+    counts = jnp.clip(jnp.int32(n) - base, 0, b)          # [P]
+    counts = jnp.broadcast_to(counts, (g, p))
+
+    min_key = skeys[:, :, 0]
+    last = jnp.maximum(counts - 1, 0)
+    max_key = jnp.take_along_axis(skeys, last[..., None].astype(jnp.int32),
+                                  axis=-1)[..., 0]
+
+    # repCode = code of the median element of the block (ref :60-70).
+    mid = (counts - 1) // 2
+    mid_ids = jnp.take_along_axis(sids, mid[..., None], axis=-1)[..., 0]  # [G, P]
+    safe_mid = jnp.maximum(mid_ids, 0)
+    garange = jnp.arange(g, dtype=jnp.int32)[:, None]                     # [G, 1]
+    rep_codes = codes[garange, safe_mid]                                  # [G, P, W]
+    # Degenerate (empty input) blocks keep zero codes.
+    rep_codes = jnp.where((mid_ids >= 0)[..., None], rep_codes,
+                          jnp.zeros_like(rep_codes))
+
+    return PartitionTable(min_key, max_key, rep_codes, sids, counts)

@@ -1,0 +1,169 @@
+"""Multi-probe candidate generation as a fixed-shape jitted pipeline.
+
+Reference behavior (index/paper/PartitionedIndexService.java:592-715): per
+(table, division) group, locate the partition whose key range contains the
+query key (binary search + closest-boundary fallback,
+GreedyPartitioner.findNearestPartition:101-124), then run a best-first probe
+over partitions ordered by Hamming(query code, partition repCode), expanding
+left/right neighbors, for ``maxProbes`` partitions; collect ids scoring each
+with its partition's repCode Hamming, dedupe keeping the minimum score, sort
+ascending, and cap at HARD_CAP.
+
+Fixed-shape equivalence proof used here: because partitions form a line and
+expansion only ever enqueues the two outer neighbors of the probed interval,
+the priority queue always contains exactly the two frontier blocks.  Hence
+the probed set after k pops is a *contiguous interval* around the center, and
+the walk is exactly: repeatedly extend toward whichever frontier has the
+smaller repCode Hamming.  That walk is a ``lax.fori_loop`` with two pointers,
+batched over ``[Q, G]`` — no data-dependent shapes, no host control flow.
+
+Two deliberate deviations (documented for parity review):
+* When HARD_CAP binds mid-collection the reference keeps earlier-table
+  candidates; we keep the globally best-scored ones (strictly better).
+* The reference's stage-A.5 "ranked Hamming prefilter with fallback fill"
+  (QueryServiceImpl.java:167-214) is a no-op given its preceding global sort
+  by score — taking the first ``refinementLimit`` of the score-sorted list is
+  the identical set — so this module returns the score-ranked truncation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hamming import hamming
+from .partition import PartitionTable
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+_INF = jnp.int32(INT32_MAX)
+
+
+class RouteResult(NamedTuple):
+    ids: jax.Array       # int32 [Q, R] candidate ids ranked by score, -1 = pad
+    scores: jax.Array    # int32 [Q, R] min Hamming(query, repCode) per id
+    n_unique: jax.Array  # int32 [Q] unique live candidates found
+    n_raw: jax.Array     # int32 [Q] raw (pre-dedup) ids touched
+
+
+def find_center(table: PartitionTable, qkeys: jax.Array) -> jax.Array:
+    """Containing-or-closest partition per (query, group).
+
+    ``qkeys``: int64 [Q, G] → int32 [Q, G] partition index.
+    Vectorized equivalent of GreedyPartitioner.findNearestPartition:101-124:
+    ``below`` (count of blocks entirely below the key) is the binary-search
+    insertion point; then containment test, else closest flanking range.
+    """
+    g, p = table.min_key.shape
+    garange = jnp.arange(g, dtype=jnp.int32)[None]                # [1, G]
+    qk = qkeys[..., None]                                         # [Q, G, 1]
+    below = jnp.sum(table.max_key[None] < qk, axis=-1).astype(jnp.int32)
+    c0 = jnp.minimum(below, p - 1)
+    min_c0 = table.min_key[garange, c0]                           # [Q, G]
+    inside = (below < p) & (min_c0 <= qkeys)
+
+    left = jnp.maximum(below - 1, 0)
+    max_left = table.max_key[garange, left]
+    dl = qkeys - max_left
+    dr = min_c0 - qkeys
+    mid = jnp.where(dl <= dr, left, c0)
+    fallback = jnp.where(below <= 0, 0, jnp.where(below >= p, p - 1, mid))
+    return jnp.where(inside, c0, fallback).astype(jnp.int32)
+
+
+def _greedy_interval(ham_w: jax.Array, max_probes: int) -> jax.Array:
+    """Greedy frontier walk over the probe window.
+
+    ``ham_w``: int32 [..., V] window Hamming scores (INF marks out-of-range),
+    window center at index ``max_probes - 1``.  Returns bool [..., V] mask of
+    probed positions (a contiguous interval of ≤ max_probes positions).
+    """
+    v = ham_w.shape[-1]
+    c = max_probes - 1
+    lo = jnp.full(ham_w.shape[:-1], c, jnp.int32)
+    hi = jnp.full(ham_w.shape[:-1], c, jnp.int32)
+
+    def step(_, state):
+        lo_, hi_ = state
+        hl = jnp.where(
+            lo_ - 1 >= 0,
+            jnp.take_along_axis(ham_w, jnp.maximum(lo_ - 1, 0)[..., None],
+                                axis=-1)[..., 0], _INF)
+        hr = jnp.where(
+            hi_ + 1 <= v - 1,
+            jnp.take_along_axis(ham_w, jnp.minimum(hi_ + 1, v - 1)[..., None],
+                                axis=-1)[..., 0], _INF)
+        both_dead = (hl == _INF) & (hr == _INF)
+        go_left = (hl <= hr) & ~both_dead
+        go_right = (hr < hl) & ~both_dead
+        return (jnp.where(go_left, lo_ - 1, lo_),
+                jnp.where(go_right, hi_ + 1, hi_))
+
+    lo, hi = jax.lax.fori_loop(0, max_probes - 1, step, (lo, hi))
+    pos = jnp.arange(v, dtype=jnp.int32)
+    mask = (pos >= lo[..., None]) & (pos <= hi[..., None])
+    return mask & (ham_w < _INF)
+
+
+@partial(jax.jit, static_argnames=("max_probes", "refinement_limit"))
+def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
+          tombstones: jax.Array, max_probes: int,
+          refinement_limit: int) -> RouteResult:
+    """Stage A for a batch of queries: candidate ids ranked by Hamming score.
+
+    Args:
+      table: built PartitionTable (all groups).
+      qcodes: uint32 [Q, G, W] packed query codes.
+      qkeys: int64 [Q, G] query sort keys.
+      tombstones: bool [N] deleted-id mask (device-resident; reference checks
+        ``metadata.isDeleted`` per id, PartitionedIndexService.java:726-753).
+      max_probes: partitions probed per group (effectiveMaxProbes).
+      refinement_limit: R — ranked candidates returned per query.
+    """
+    q, g, w = qcodes.shape
+    p = table.num_partitions
+    garange = jnp.arange(g, dtype=jnp.int32)[None, :, None]       # [1, G, 1]
+
+    center = find_center(table, qkeys)                            # [Q, G]
+    offs = jnp.arange(-(max_probes - 1), max_probes, dtype=jnp.int32)
+    widx_raw = center[..., None] + offs                           # [Q, G, V]
+    in_range = (widx_raw >= 0) & (widx_raw < p)
+    widx = jnp.clip(widx_raw, 0, p - 1)
+
+    # Window repCodes + Hamming scores (gathers, no [Q,G,P,*] materialization).
+    rep_w = table.rep_codes[garange, widx]                        # [Q, G, V, W]
+    ham_w = hamming(qcodes[:, :, None, :], rep_w)                 # [Q, G, V]
+    ham_w = jnp.where(in_range, ham_w, _INF)
+
+    probed = _greedy_interval(ham_w, max_probes)                  # [Q, G, V]
+
+    # Collect ids of probed blocks, scored by their block's Hamming.
+    cand_ids = table.ids[garange, widx]                           # [Q, G, V, B]
+    cand_scores = jnp.broadcast_to(ham_w[..., None], cand_ids.shape)
+
+    alive = cand_ids >= 0
+    dead = tombstones[jnp.maximum(cand_ids, 0)] & alive
+    valid = probed[..., None] & alive & ~dead
+
+    flat_ids = jnp.where(valid, cand_ids, INT32_MAX).reshape(q, -1)
+    flat_scores = jnp.where(valid, cand_scores, _INF).reshape(q, -1)
+    n_raw = jnp.sum(valid.reshape(q, -1), axis=-1, dtype=jnp.int32)
+
+    # Dedupe keeping min score: sort by (id, score); first of each id-run wins.
+    sid, sscore = jax.lax.sort((flat_ids, flat_scores), dimension=-1, num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((q, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=-1)
+    live = first & (sid != INT32_MAX)
+    n_unique = jnp.sum(live, axis=-1, dtype=jnp.int32)
+    sid = jnp.where(live, sid, INT32_MAX)
+    sscore = jnp.where(live, sscore, _INF)
+
+    # Final ranking by (score, id); truncate to R.
+    rscore, rid = jax.lax.sort((sscore, sid), dimension=-1, num_keys=2)
+    r = min(refinement_limit, rid.shape[-1])
+    rid = rid[:, :r]
+    rscore = rscore[:, :r]
+    rid = jnp.where(rid == INT32_MAX, -1, rid)
+    return RouteResult(rid, rscore, n_unique, n_raw)

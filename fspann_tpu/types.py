@@ -1,0 +1,99 @@
+"""Shared value types (host-side dataclasses; device state lives in pytrees).
+
+Counterparts of the reference's ``common`` module records:
+``EncryptedPoint`` (common/EncryptedPoint.java), ``QueryToken``
+(common/QueryToken.java), ``QueryResult``, ``KeyVersion``, ``QueryMetrics``.
+The TPU build stores routing codes as dense device arrays rather than on the
+point record — an ``EncryptedPoint`` here is pure cipher state, which is what
+keeps rotation orthogonal to routing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class EncryptedPoint:
+    """One AES-256-GCM-encrypted vector payload.
+
+    AAD binds identity, key version and dimension exactly like the reference
+    (crypto/AesGcmCryptoService.java:72-83): ``id:{id}|v:{version}|d:{dim}``.
+    ``ciphertext`` carries the GCM tag appended (ct || tag16).
+    """
+
+    id: int
+    key_version: int
+    iv: bytes            # 12 bytes
+    ciphertext: bytes    # payload || 16-byte tag
+    dimension: int
+
+    @property
+    def aad(self) -> bytes:
+        return aad_for(self.id, self.key_version, self.dimension)
+
+
+def aad_for(point_id: int, key_version: int, dimension: int) -> bytes:
+    return f"id:{point_id}|v:{key_version}|d:{dimension}".encode()
+
+
+@dataclass(frozen=True)
+class QueryToken:
+    """Client→server query: packed routing codes + encrypted query vector.
+
+    ``codes`` is ``uint32[G, W]`` (G = tables*divisions packed code words) and
+    ``keys`` is ``int64[G]`` — the 63-bit sortable prefixes.  The plaintext
+    query never appears; the server decrypts ``encrypted_query`` under the
+    token's key version (reference common/QueryToken.java + trusted-eval
+    shortcut in query/QueryServiceImpl.java:131).
+    """
+
+    codes: np.ndarray        # uint32 [G, W]
+    keys: np.ndarray         # int64 [G]
+    iv: bytes
+    encrypted_query: bytes   # ct || tag
+    top_k: int
+    dimension: int
+    key_version: int
+    num_tables: int
+    lam: int
+
+    def derive(self, top_k: int) -> "QueryToken":
+        """Re-target topK only (reference QueryTokenFactory.derive:182-198)."""
+        return QueryToken(self.codes, self.keys, self.iv, self.encrypted_query,
+                          top_k, self.dimension, self.key_version,
+                          self.num_tables, self.lam)
+
+
+@dataclass(frozen=True)
+class QueryResult:
+    id: int
+    distance: float
+
+
+@dataclass(frozen=True)
+class QueryMetrics:
+    """Paper metrics at K (reference common/QueryMetrics.java:7-21)."""
+
+    candidate_ratio_at_k: float
+    distance_ratio_at_k: float
+    recall_at_k: float
+
+
+@dataclass
+class SearchStats:
+    """Per-query pipeline counters (reference QueryServiceImpl getters:417-475)."""
+
+    cand_raw: int = 0
+    cand_unique: int = 0
+    cand_refined: int = 0
+    cand_decrypted: int = 0
+    returned: int = 0
+    retried: bool = False
+    server_ns: int = 0
+    decrypt_ns: int = 0
+    route_ns: int = 0
+    refine_ns: int = 0
+    touched_ids: list = field(default_factory=list)

@@ -1,0 +1,364 @@
+/* AES-256-GCM with AES-NI + PCLMULQDQ — host-side crypto kernel.
+ *
+ * Native counterpart of the reference's JCE "AES/GCM/NoPadding" path
+ * (crypto/src/main/java/com/fspann/crypto/AesGcmCryptoService.java:30-33 in
+ * the Java reference): 12-byte IV, 128-bit tag, optional AAD.  Exposes
+ * batch seal/open entry points so the decrypt-and-refine stage processes a
+ * whole candidate set per call (the reference decrypts one point at a time —
+ * its dominant query cost).
+ *
+ * Build: gcc -O3 -maes -mpclmul -mssse3 -shared -fPIC
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+#include <wmmintrin.h>  /* AES-NI + PCLMUL */
+#include <tmmintrin.h>  /* _mm_shuffle_epi8 */
+#include <smmintrin.h>  /* _mm_insert_epi32 */
+
+typedef struct {
+    __m128i rk[15];   /* AES-256 round keys */
+    __m128i h[4];     /* GHASH key powers H^1..H^4, byte-reflected */
+} gcm_ctx;
+
+size_t fspann_gcm_ctx_size(void) { return sizeof(gcm_ctx); }
+
+/* ------------------------------------------------------------------ */
+/* AES-256 key schedule                                                */
+/* ------------------------------------------------------------------ */
+
+static inline __m128i ks_mix(__m128i k) {
+    k = _mm_xor_si128(k, _mm_slli_si128(k, 4));
+    k = _mm_xor_si128(k, _mm_slli_si128(k, 4));
+    k = _mm_xor_si128(k, _mm_slli_si128(k, 4));
+    return k;
+}
+
+#define EXPAND_EVEN(i, rcon)                                              \
+    do {                                                                  \
+        __m128i t = _mm_aeskeygenassist_si128(rk[(i)-1], (rcon));         \
+        t = _mm_shuffle_epi32(t, 0xff);                                   \
+        rk[(i)] = _mm_xor_si128(ks_mix(rk[(i)-2]), t);                    \
+    } while (0)
+
+#define EXPAND_ODD(i)                                                     \
+    do {                                                                  \
+        __m128i t = _mm_aeskeygenassist_si128(rk[(i)-1], 0x00);           \
+        t = _mm_shuffle_epi32(t, 0xaa);                                   \
+        rk[(i)] = _mm_xor_si128(ks_mix(rk[(i)-2]), t);                    \
+    } while (0)
+
+static void aes256_expand(const uint8_t key[32], __m128i rk[15]) {
+    rk[0] = _mm_loadu_si128((const __m128i *)key);
+    rk[1] = _mm_loadu_si128((const __m128i *)(key + 16));
+    EXPAND_EVEN(2, 0x01);  EXPAND_ODD(3);
+    EXPAND_EVEN(4, 0x02);  EXPAND_ODD(5);
+    EXPAND_EVEN(6, 0x04);  EXPAND_ODD(7);
+    EXPAND_EVEN(8, 0x08);  EXPAND_ODD(9);
+    EXPAND_EVEN(10, 0x10); EXPAND_ODD(11);
+    EXPAND_EVEN(12, 0x20); EXPAND_ODD(13);
+    EXPAND_EVEN(14, 0x40);
+}
+
+static inline __m128i aes256_enc(const __m128i rk[15], __m128i x) {
+    x = _mm_xor_si128(x, rk[0]);
+    for (int i = 1; i < 14; i++) x = _mm_aesenc_si128(x, rk[i]);
+    return _mm_aesenclast_si128(x, rk[14]);
+}
+
+/* ------------------------------------------------------------------ */
+/* GHASH (CLMUL, byte-reflected operands)                              */
+/* ------------------------------------------------------------------ */
+
+static inline __m128i bswap16(__m128i x) {
+    const __m128i rev = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
+                                     8, 9, 10, 11, 12, 13, 14, 15);
+    return _mm_shuffle_epi8(x, rev);
+}
+
+/* Carry-less 128x128 -> 256 multiply (no reduction); byte-reflected
+ * operands.  Partial products of an aggregated GHASH group are XOR-summed
+ * in the 256-bit domain and reduced once. */
+static inline void clmul256(__m128i a, __m128i b, __m128i *hi, __m128i *lo) {
+    __m128i t3 = _mm_clmulepi64_si128(a, b, 0x00);
+    __m128i t4 = _mm_clmulepi64_si128(a, b, 0x10);
+    __m128i t5 = _mm_clmulepi64_si128(a, b, 0x01);
+    __m128i t6 = _mm_clmulepi64_si128(a, b, 0x11);
+    t4 = _mm_xor_si128(t4, t5);
+    t5 = _mm_slli_si128(t4, 8);
+    t4 = _mm_srli_si128(t4, 8);
+    *lo = _mm_xor_si128(t3, t5);
+    *hi = _mm_xor_si128(t6, t4);
+}
+
+/* Shift the 256-bit product left one bit and reduce mod the GCM polynomial
+ * (classic Intel white-paper two-phase reduction). */
+static inline __m128i gcm_reduce(__m128i t6, __m128i t3) {
+    __m128i t7, t8, t9;
+    t7 = _mm_srli_epi32(t3, 31);
+    t8 = _mm_srli_epi32(t6, 31);
+    t3 = _mm_slli_epi32(t3, 1);
+    t6 = _mm_slli_epi32(t6, 1);
+    t9 = _mm_srli_si128(t7, 12);
+    t8 = _mm_slli_si128(t8, 4);
+    t7 = _mm_slli_si128(t7, 4);
+    t3 = _mm_or_si128(t3, t7);
+    t6 = _mm_or_si128(t6, t8);
+    t6 = _mm_or_si128(t6, t9);
+
+    t7 = _mm_slli_epi32(t3, 31);
+    t8 = _mm_slli_epi32(t3, 30);
+    t9 = _mm_slli_epi32(t3, 25);
+    t7 = _mm_xor_si128(t7, t8);
+    t7 = _mm_xor_si128(t7, t9);
+    t8 = _mm_srli_si128(t7, 4);
+    t7 = _mm_slli_si128(t7, 12);
+    t3 = _mm_xor_si128(t3, t7);
+
+    __m128i u1 = _mm_srli_epi32(t3, 1);
+    __m128i u2 = _mm_srli_epi32(t3, 2);
+    __m128i u3 = _mm_srli_epi32(t3, 7);
+    u1 = _mm_xor_si128(u1, u2);
+    u1 = _mm_xor_si128(u1, u3);
+    u1 = _mm_xor_si128(u1, t8);
+    t3 = _mm_xor_si128(t3, u1);
+    return _mm_xor_si128(t6, t3);
+}
+
+static inline __m128i gfmul(__m128i a, __m128i b) {
+    __m128i hi, lo;
+    clmul256(a, b, &hi, &lo);
+    return gcm_reduce(hi, lo);
+}
+
+static inline __m128i ghash_update(__m128i y, __m128i h, __m128i block) {
+    return gfmul(_mm_xor_si128(y, bswap16(block)), h);
+}
+
+/* Aggregated 4-block GHASH: one reduction per 64 bytes breaks the serial
+ * per-block reduce chain (the chain is the GHASH latency bottleneck). */
+static inline __m128i ghash4(const gcm_ctx *ctx, __m128i y,
+                             __m128i b0, __m128i b1, __m128i b2, __m128i b3) {
+    __m128i hi, lo, hi2, lo2;
+    clmul256(_mm_xor_si128(y, bswap16(b0)), ctx->h[3], &hi, &lo);
+    clmul256(bswap16(b1), ctx->h[2], &hi2, &lo2);
+    hi = _mm_xor_si128(hi, hi2); lo = _mm_xor_si128(lo, lo2);
+    clmul256(bswap16(b2), ctx->h[1], &hi2, &lo2);
+    hi = _mm_xor_si128(hi, hi2); lo = _mm_xor_si128(lo, lo2);
+    clmul256(bswap16(b3), ctx->h[0], &hi2, &lo2);
+    hi = _mm_xor_si128(hi, hi2); lo = _mm_xor_si128(lo, lo2);
+    return gcm_reduce(hi, lo);
+}
+
+static __m128i ghash_buf(const gcm_ctx *ctx, __m128i y, const uint8_t *p,
+                         size_t len) {
+    while (len >= 64) {
+        y = ghash4(ctx, y,
+                   _mm_loadu_si128((const __m128i *)p),
+                   _mm_loadu_si128((const __m128i *)(p + 16)),
+                   _mm_loadu_si128((const __m128i *)(p + 32)),
+                   _mm_loadu_si128((const __m128i *)(p + 48)));
+        p += 64; len -= 64;
+    }
+    while (len >= 16) {
+        y = ghash_update(y, ctx->h[0], _mm_loadu_si128((const __m128i *)p));
+        p += 16; len -= 16;
+    }
+    if (len) {
+        uint8_t last[16] = {0};
+        memcpy(last, p, len);
+        y = ghash_update(y, ctx->h[0], _mm_loadu_si128((const __m128i *)last));
+    }
+    return y;
+}
+
+/* ------------------------------------------------------------------ */
+/* GCM core                                                            */
+/* ------------------------------------------------------------------ */
+
+int fspann_gcm_init(void *vctx, const uint8_t key[32]) {
+    gcm_ctx *ctx = (gcm_ctx *)vctx;
+    aes256_expand(key, ctx->rk);
+    ctx->h[0] = bswap16(aes256_enc(ctx->rk, _mm_setzero_si128()));
+    ctx->h[1] = gfmul(ctx->h[0], ctx->h[0]);
+    ctx->h[2] = gfmul(ctx->h[1], ctx->h[0]);
+    ctx->h[3] = gfmul(ctx->h[2], ctx->h[0]);
+    return 0;
+}
+
+static inline __m128i make_j0(const uint8_t iv[12]) {
+    uint8_t j0[16];
+    memcpy(j0, iv, 12);
+    j0[12] = 0; j0[13] = 0; j0[14] = 0; j0[15] = 1;
+    return _mm_loadu_si128((const __m128i *)j0);
+}
+
+/* Counter block i: J0 with its last 32 bits (big-endian) incremented by i.
+ * Kept in registers: extract the base counter once, then insert
+ * byte-swapped (base + i). */
+static inline uint32_t ctr_base(__m128i j0) {
+    return __builtin_bswap32((uint32_t)_mm_extract_epi32(j0, 3));
+}
+
+static inline __m128i ctr_block(__m128i j0, uint32_t c) {
+    return _mm_insert_epi32(j0, (int)__builtin_bswap32(c), 3);
+}
+
+/* CTR keystream application.  8 blocks in flight so the AES round
+ * instructions pipeline (aesenc latency ~4 cycles, throughput 1/cycle);
+ * a serial per-block chain caps at ~1/4 of the unit's throughput. */
+static void ctr_xcrypt(const gcm_ctx *ctx, __m128i j0, const uint8_t *in,
+                       uint8_t *out, size_t len) {
+    const __m128i *rk = ctx->rk;
+    uint32_t c = ctr_base(j0) + 1;  /* first data counter is J0+1 */
+    while (len >= 128) {
+        __m128i b[8];
+        for (int i = 0; i < 8; i++)
+            b[i] = _mm_xor_si128(ctr_block(j0, c + (uint32_t)i), rk[0]);
+        for (int r = 1; r < 14; r++)
+            for (int i = 0; i < 8; i++)
+                b[i] = _mm_aesenc_si128(b[i], rk[r]);
+        for (int i = 0; i < 8; i++) {
+            b[i] = _mm_aesenclast_si128(b[i], rk[14]);
+            _mm_storeu_si128((__m128i *)(out + 16 * i),
+                _mm_xor_si128(
+                    _mm_loadu_si128((const __m128i *)(in + 16 * i)), b[i]));
+        }
+        in += 128; out += 128; len -= 128; c += 8;
+    }
+    while (len >= 16) {
+        __m128i k = aes256_enc(rk, ctr_block(j0, c++));
+        _mm_storeu_si128((__m128i *)out,
+            _mm_xor_si128(_mm_loadu_si128((const __m128i *)in), k));
+        in += 16; out += 16; len -= 16;
+    }
+    if (len) {
+        uint8_t ks[16];
+        _mm_storeu_si128((__m128i *)ks, aes256_enc(rk, ctr_block(j0, c)));
+        for (size_t i = 0; i < len; i++) out[i] = in[i] ^ ks[i];
+    }
+}
+
+static __m128i gcm_tag(const gcm_ctx *ctx, __m128i j0, const uint8_t *aad,
+                       size_t aad_len, const uint8_t *ct, size_t ct_len) {
+    __m128i y = _mm_setzero_si128();
+    y = ghash_buf(ctx, y, aad, aad_len);
+    y = ghash_buf(ctx, y, ct, ct_len);
+    uint8_t lens[16];
+    uint64_t ab = (uint64_t)aad_len * 8, cb = (uint64_t)ct_len * 8;
+    for (int i = 0; i < 8; i++) {
+        lens[i] = (uint8_t)(ab >> (56 - 8 * i));
+        lens[8 + i] = (uint8_t)(cb >> (56 - 8 * i));
+    }
+    y = ghash_update(y, ctx->h[0], _mm_loadu_si128((const __m128i *)lens));
+    __m128i ek = aes256_enc(ctx->rk, j0);
+    return _mm_xor_si128(bswap16(y), ek);
+}
+
+int fspann_gcm_seal(const void *vctx, const uint8_t iv[12],
+                    const uint8_t *aad, size_t aad_len,
+                    const uint8_t *pt, size_t pt_len,
+                    uint8_t *ct, uint8_t tag[16]) {
+    const gcm_ctx *ctx = (const gcm_ctx *)vctx;
+    __m128i j0 = make_j0(iv);
+    ctr_xcrypt(ctx, j0, pt, ct, pt_len);
+    __m128i t = gcm_tag(ctx, j0, aad, aad_len, ct, pt_len);
+    _mm_storeu_si128((__m128i *)tag, t);
+    return 0;
+}
+
+int fspann_gcm_open(const void *vctx, const uint8_t iv[12],
+                    const uint8_t *aad, size_t aad_len,
+                    const uint8_t *ct, size_t ct_len,
+                    const uint8_t tag[16], uint8_t *pt) {
+    const gcm_ctx *ctx = (const gcm_ctx *)vctx;
+    __m128i j0 = make_j0(iv);
+    __m128i t = gcm_tag(ctx, j0, aad, aad_len, ct, ct_len);
+    /* constant-time tag compare */
+    __m128i diff = _mm_xor_si128(t, _mm_loadu_si128((const __m128i *)tag));
+    if (_mm_movemask_epi8(_mm_cmpeq_epi8(diff, _mm_setzero_si128())) != 0xffff)
+        return -1;
+    ctr_xcrypt(ctx, j0, ct, pt, ct_len);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Batched entry points (the hot path)                                 */
+/* ------------------------------------------------------------------ */
+
+/* Seal n records under ONE key context.  Buffers are flat; per-record
+ * extents come as (offset, length) arrays.  ct shares pt's offsets. */
+int fspann_gcm_seal_batch(const void *vctx, size_t n,
+                          const uint8_t *ivs,
+                          const uint8_t *aad, const uint64_t *aad_off,
+                          const uint64_t *aad_len,
+                          const uint8_t *pt, const uint64_t *off,
+                          const uint64_t *len,
+                          uint8_t *ct, uint8_t *tags) {
+    for (size_t i = 0; i < n; i++) {
+        fspann_gcm_seal(vctx, ivs + 12 * i, aad + aad_off[i], aad_len[i],
+                        pt + off[i], len[i], ct + off[i], tags + 16 * i);
+    }
+    return 0;
+}
+
+/* Open n records, each under the key context selected by key_idx[i] into a
+ * packed array of contexts (ctx_stride bytes apart).  ok[i] = 1 on tag
+ * match, 0 on failure (output zeroed).  Returns count of failures. */
+int fspann_gcm_open_batch(const void *ctxs, size_t ctx_stride,
+                          const uint32_t *key_idx, size_t n,
+                          const uint8_t *ivs,
+                          const uint8_t *aad, const uint64_t *aad_off,
+                          const uint64_t *aad_len,
+                          const uint8_t *ct, const uint64_t *off,
+                          const uint64_t *len,
+                          const uint8_t *tags, uint8_t *pt, uint8_t *ok) {
+    int failures = 0;
+    for (size_t i = 0; i < n; i++) {
+        const void *c = (const uint8_t *)ctxs + ctx_stride * key_idx[i];
+        int rc = fspann_gcm_open(c, ivs + 12 * i, aad + aad_off[i],
+                                 aad_len[i], ct + off[i], len[i],
+                                 tags + 16 * i, pt + off[i]);
+        ok[i] = (uint8_t)(rc == 0);
+        if (rc != 0) {
+            memset(pt + off[i], 0, len[i]);
+            failures++;
+        }
+    }
+    return failures;
+}
+
+/* Fused re-encrypt: open under ctx_old, seal under ctx_new with fresh IVs;
+ * one pass over the data for selective re-encryption sweeps. */
+int fspann_gcm_rekey_batch(const void *ctx_old_arr, size_t ctx_stride,
+                           const uint32_t *key_idx, const void *ctx_new,
+                           size_t n,
+                           const uint8_t *ivs_old, const uint8_t *ivs_new,
+                           const uint8_t *aad_old, const uint64_t *aad_old_off,
+                           const uint64_t *aad_old_len,
+                           const uint8_t *aad_new, const uint64_t *aad_new_off,
+                           const uint64_t *aad_new_len,
+                           const uint8_t *ct_in, const uint64_t *off,
+                           const uint64_t *len,
+                           const uint8_t *tags_in,
+                           uint8_t *ct_out, uint8_t *tags_out, uint8_t *ok) {
+    int failures = 0;
+    uint8_t scratch[4096];
+    for (size_t i = 0; i < n; i++) {
+        uint8_t *buf = scratch;
+        if (len[i] > sizeof(scratch)) { ok[i] = 0; failures++; continue; }
+        const void *c = (const uint8_t *)ctx_old_arr + ctx_stride * key_idx[i];
+        int rc = fspann_gcm_open(c, ivs_old + 12 * i,
+                                 aad_old + aad_old_off[i], aad_old_len[i],
+                                 ct_in + off[i], len[i], tags_in + 16 * i, buf);
+        if (rc != 0) { ok[i] = 0; failures++; continue; }
+        fspann_gcm_seal(ctx_new, ivs_new + 12 * i,
+                        aad_new + aad_new_off[i], aad_new_len[i],
+                        buf, len[i], ct_out + off[i], tags_out + 16 * i);
+        /* zeroize plaintext scratch (reference EncryptionUtils zeroize) */
+        memset(buf, 0, len[i]);
+        ok[i] = 1;
+    }
+    return failures;
+}

@@ -1,0 +1,302 @@
+"""Encrypted point store: versioned arenas + metadata log + batch crypto.
+
+This layer is the reference's ``AesGcmCryptoService`` + ``RocksDBMetadataManager``
+pair fused around batches: vectors are serialized as little-endian float32,
+sealed with AES-256-GCM under AAD ``id:{id}|v:{kv}|d:{dim}`` (reference
+crypto/AesGcmCryptoService.java:72-83), appended to the key version's arena,
+then committed via the metadata log.  Candidate loading is the query hot
+path: group by key version, one mmap gather per version, ONE batched
+multi-key GCM open for the whole candidate set (reference decrypts one point
+per JCE call — QueryServiceImpl.java:238-271).
+
+Routing–ciphertext orthogonality: nothing in this module touches routing
+state; re-encryption rewrites arena records and metadata only.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..crypto import aesgcm
+from ..crypto.keys import KeyManager
+from ..types import aad_for
+from .arena import ArenaReader, ArenaWriter, secure_delete_arena
+from .metadata import MetadataLog
+
+TAG_LEN = aesgcm.TAG_LEN
+
+
+@dataclass
+class ReencryptReport:
+    """Reference common/ReencryptReport.java."""
+
+    touched: int
+    reencrypted: int
+    skipped_current: int
+    failed: int
+    time_ms: float
+    bytes_delta: int
+    bytes_after: int
+
+
+class PointStore:
+    def __init__(self, base_dir: str, key_manager: KeyManager, dim: int):
+        self.base_dir = base_dir
+        self.km = key_manager
+        self.dim = dim
+        self.points_dir = os.path.join(base_dir, "points")
+        os.makedirs(self.points_dir, exist_ok=True)
+        self.meta = MetadataLog(os.path.join(base_dir, "meta.log"))
+        self._writers: dict[int, ArenaWriter] = {}
+        self._readers: dict[int, ArenaReader] = {}
+        self._dirty: set[int] = set()
+
+    # -- plumbing --------------------------------------------------------------
+
+    def _arena_path(self, kv: int) -> str:
+        return os.path.join(self.points_dir, f"v{kv}.arena")
+
+    def _writer(self, kv: int) -> ArenaWriter:
+        w = self._writers.get(kv)
+        if w is None:
+            w = ArenaWriter(self._arena_path(kv))
+            self._writers[kv] = w
+        return w
+
+    def _reader(self, kv: int) -> ArenaReader:
+        if kv in self._dirty:
+            self._writers[kv].flush()
+            self._dirty.discard(kv)
+            r = self._readers.pop(kv, None)
+            if r is not None:
+                r.close()
+        r = self._readers.get(kv)
+        path = self._arena_path(kv)
+        if r is None or r.size != os.path.getsize(path):
+            if r is not None:
+                r.close()
+            r = ArenaReader(path)
+            self._readers[kv] = r
+        return r
+
+    @property
+    def record_ct_len(self) -> int:
+        return 4 * self.dim + TAG_LEN
+
+    # -- writes ----------------------------------------------------------------
+
+    def insert_batch(self, ids: np.ndarray, vecs: np.ndarray,
+                     key_version: int | None = None) -> None:
+        """Encrypt + persist a batch under one key version (default: current).
+
+        Write order is arena-append → arena fsync → metadata append → fsync:
+        the metadata record is the commit point (reference's crash-consistent
+        protocol, RocksDBMetadataManager.java:342-375, restructured for
+        batches).
+        """
+        kv = self.km.current_version if key_version is None else key_version
+        ids = np.asarray(ids)
+        vecs = np.asarray(vecs, np.float32)
+        n = len(ids)
+        if vecs.shape != (n, self.dim):
+            raise ValueError(f"expected vecs [{n}, {self.dim}], got {vecs.shape}")
+
+        pt = np.frombuffer(vecs.astype("<f4").tobytes(), np.uint8).copy()
+        lens = np.full(n, 4 * self.dim, np.uint64)
+        offs = np.arange(n, dtype=np.uint64) * (4 * self.dim)
+        ivs = np.frombuffer(secrets.token_bytes(12 * n), np.uint8
+                            ).reshape(n, 12).copy()
+        aads = [aad_for(int(i), kv, self.dim) for i in ids]
+        ct, tags = aesgcm.seal_batch(self.km.gcm_for(kv), ivs, aads, pt, offs,
+                                     lens)
+
+        w = self._writer(kv)
+        arena_offs = np.empty(n, np.int64)
+        clen = 4 * self.dim
+        for i in range(n):
+            ct_tag = ct[i * clen:(i + 1) * clen].tobytes() + tags[i].tobytes()
+            arena_offs[i], _ = w.append(int(ids[i]), kv, self.dim,
+                                        ivs[i].tobytes(), ct_tag)
+        w.flush()
+        self._dirty.add(kv)
+        self.meta.put_batch(ids, kv, self.dim, arena_offs)
+        self.meta.flush()
+
+    def delete(self, ids) -> None:
+        for pid in np.atleast_1d(np.asarray(ids)):
+            self.meta.tombstone(int(pid))
+        self.meta.flush()
+
+    # -- reads -----------------------------------------------------------------
+
+    def load_decrypt_batch(self, ids: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Load + decrypt candidates.  ids int [n]; pad/missing/tombstoned
+        entries yield ok=False.  Returns (vecs f32 [n, dim], ok bool [n]).
+
+        One GCM open_batch call for the whole set; per-record key versions
+        resolved from metadata (reference QueryServiceImpl.java:250-251 —
+        each point decrypts under its own recorded version).
+        """
+        ids = np.asarray(ids)
+        n = len(ids)
+        vecs = np.zeros((n, self.dim), np.float32)
+        ok = np.zeros(n, bool)
+
+        # Group live candidates by key version.
+        by_kv: dict[int, list[int]] = {}
+        metas = []
+        for i, pid in enumerate(ids):
+            pid = int(pid)
+            m = self.meta.get(pid) if pid >= 0 else None
+            metas.append(m)
+            if m is not None:
+                by_kv.setdefault(m.key_version, []).append(i)
+
+        if not by_kv:
+            return vecs, ok
+
+        versions = sorted(by_kv)
+        keys = [self.km.gcm_for(kv) for kv in versions]
+        clen = self.record_ct_len
+        body = 4 * self.dim
+
+        order: list[int] = []
+        ivs_parts, ct_parts, key_idx_parts, aads = [], [], [], []
+        for vi, kv in enumerate(versions):
+            idxs = by_kv[kv]
+            reader = self._reader(kv)
+            offs = np.array([metas[i].arena_off for i in idxs], np.int64)
+            ivs_v, ct_v = reader.gather(offs, clen)
+            ivs_parts.append(ivs_v)
+            ct_parts.append(ct_v.reshape(len(idxs), clen))
+            key_idx_parts.append(np.full(len(idxs), vi, np.uint32))
+            aads.extend(aad_for(int(ids[i]), kv, self.dim) for i in idxs)
+            order.extend(idxs)
+
+        ivs = np.concatenate(ivs_parts)
+        ct_tag = np.concatenate(ct_parts)          # [m, body+16]
+        key_idx = np.concatenate(key_idx_parts)
+        m_total = len(order)
+        ct_flat = np.ascontiguousarray(ct_tag[:, :body]).reshape(-1)
+        tags = np.ascontiguousarray(ct_tag[:, body:])
+        offs_flat = np.arange(m_total, dtype=np.uint64) * body
+        lens_flat = np.full(m_total, body, np.uint64)
+        pt, ok_flags = aesgcm.open_batch(keys, key_idx, ivs, aads, ct_flat,
+                                         offs_flat, lens_flat, tags)
+        ptv = np.frombuffer(pt.tobytes(), "<f4").reshape(m_total, self.dim)
+        order = np.array(order, np.int64)
+        vecs[order] = ptv
+        ok[order] = ok_flags.astype(bool)
+        return vecs, ok
+
+    def key_version_of(self, pid: int) -> int | None:
+        m = self.meta.get(int(pid))
+        return None if m is None else m.key_version
+
+    # -- re-encryption -----------------------------------------------------------
+
+    def reencrypt_ids(self, ids, target_version: int | None = None
+                      ) -> ReencryptReport:
+        """Selective re-encryption: migrate the given ids to target_version
+        (default current), skipping already-current points (reference
+        KeyRotationServiceImpl.reencryptTouched:215-289)."""
+        t0 = time.perf_counter()
+        kv_target = (self.km.current_version if target_version is None
+                     else target_version)
+        ids = [int(i) for i in np.atleast_1d(np.asarray(ids))]
+        before = self.size_bytes()
+        todo = []
+        skipped = 0
+        for pid in ids:
+            m = self.meta.get(pid)
+            if m is None:
+                continue
+            if m.key_version >= kv_target:
+                skipped += 1
+                continue
+            todo.append(pid)
+        failed = 0
+        if todo:
+            arr = np.array(todo, np.int64)
+            vecs, ok = self.load_decrypt_batch(arr)
+            good = np.flatnonzero(ok)
+            failed = len(todo) - len(good)
+            if len(good):
+                self.insert_batch(arr[good], vecs[good], kv_target)
+        after = self.size_bytes()
+        return ReencryptReport(
+            touched=len(ids), reencrypted=len(todo) - failed,
+            skipped_current=skipped, failed=failed,
+            time_ms=(time.perf_counter() - t0) * 1e3,
+            bytes_delta=after - before, bytes_after=after)
+
+    def reencrypt_all(self, target_version: int | None = None
+                      ) -> ReencryptReport:
+        """Full migration sweep (reference reEncryptAll:98-146)."""
+        return self.reencrypt_ids(list(self.meta.live_ids()), target_version)
+
+    # -- maintenance --------------------------------------------------------------
+
+    def retire_version(self, kv: int) -> bool:
+        """Securely delete an arena whose version no longer owns live points."""
+        if self.meta.count_with_version(kv) > 0:
+            return False
+        r = self._readers.pop(kv, None)
+        if r is not None:
+            r.close()
+        w = self._writers.pop(kv, None)
+        if w is not None:
+            w.close()
+        secure_delete_arena(self._arena_path(kv))
+        return True
+
+    def audit_drift(self) -> dict:
+        """Set-diff metadata ids vs arena records (reference auditDrift:649-689)."""
+        meta_ids = set(self.meta.live_ids())
+        arena_ids = set()
+        for name in os.listdir(self.points_dir):
+            if not name.endswith(".arena"):
+                continue
+            kv = int(name[1:-len(".arena")])
+            for _off, pid, rkv, _dim, _iv, _ct in self._reader(kv).scan():
+                m = self.meta.get(pid)
+                if m is not None and m.key_version == rkv:
+                    arena_ids.add(pid)
+        return {"meta_only": sorted(meta_ids - arena_ids),
+                "arena_missing": sorted(meta_ids - arena_ids),
+                "meta_count": len(meta_ids)}
+
+    def restore_iter(self, batch: int = 4096):
+        """Yield (ids int64 [b], vecs f32 [b, dim]) decrypting every live
+        point — the index-rebuild path (reference restoreIndexFromDisk:926-948)."""
+        live = np.fromiter(self.meta.live_ids(), np.int64)
+        live.sort()
+        for s in range(0, len(live), batch):
+            chunk = live[s:s + batch]
+            vecs, ok = self.load_decrypt_batch(chunk)
+            yield chunk[ok], vecs[ok]
+
+    def size_bytes(self) -> int:
+        total = 0
+        for name in os.listdir(self.points_dir):
+            total += os.path.getsize(os.path.join(self.points_dir, name))
+        return total
+
+    def flush(self) -> None:
+        for kv, w in self._writers.items():
+            w.flush()
+        self.meta.flush()
+
+    def close(self) -> None:
+        self.flush()
+        for r in self._readers.values():
+            r.close()
+        for w in self._writers.values():
+            w.close()
+        self.meta.close()

@@ -1,0 +1,133 @@
+"""PointStore + metadata log tests (reference common/ RocksDB suites)."""
+
+import numpy as np
+import pytest
+
+from fspann_tpu.crypto.keys import KeyManager
+from fspann_tpu.store.metadata import MetadataLog
+from fspann_tpu.store.point_store import PointStore
+
+
+@pytest.fixture
+def store(tmp_path):
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8)
+    yield s
+    s.close()
+
+
+def test_insert_load_roundtrip(store, rng):
+    ids = np.arange(100)
+    vecs = rng.normal(size=(100, 8)).astype(np.float32)
+    store.insert_batch(ids, vecs)
+    out, ok = store.load_decrypt_batch(np.array([0, 50, 99, -1, 1000]))
+    assert ok.tolist() == [True, True, True, False, False]
+    np.testing.assert_allclose(out[0], vecs[0], rtol=1e-6)
+    np.testing.assert_allclose(out[1], vecs[50], rtol=1e-6)
+    np.testing.assert_allclose(out[2], vecs[99], rtol=1e-6)
+    assert not out[3].any()
+
+
+def test_tombstones(store, rng):
+    ids = np.arange(10)
+    store.insert_batch(ids, rng.normal(size=(10, 8)).astype(np.float32))
+    store.delete([3, 4])
+    out, ok = store.load_decrypt_batch(np.arange(10))
+    assert ok.tolist() == [True]*3 + [False]*2 + [True]*5
+    assert store.meta.is_deleted(3)
+
+
+def test_mixed_version_batch_decrypt(store, rng):
+    v1 = rng.normal(size=(20, 8)).astype(np.float32)
+    store.insert_batch(np.arange(20), v1)
+    store.km.rotate()
+    v2 = rng.normal(size=(20, 8)).astype(np.float32)
+    store.insert_batch(np.arange(20, 40), v2)
+    out, ok = store.load_decrypt_batch(np.arange(40))
+    assert ok.all()
+    np.testing.assert_allclose(out[:20], v1, rtol=1e-6)
+    np.testing.assert_allclose(out[20:], v2, rtol=1e-6)
+    assert store.key_version_of(5) == 1
+    assert store.key_version_of(25) == 2
+
+
+def test_reencrypt_selective(store, rng):
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    store.insert_batch(np.arange(30), vecs)
+    store.km.rotate()
+    rep = store.reencrypt_ids([5, 6, 7])
+    assert rep.reencrypted == 3 and rep.failed == 0
+    assert store.key_version_of(5) == 2
+    assert store.key_version_of(4) == 1   # untouched stays old
+    out, ok = store.load_decrypt_batch(np.arange(30))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+    # idempotent: already-current skipped
+    rep2 = store.reencrypt_ids([5, 6, 7])
+    assert rep2.reencrypted == 0 and rep2.skipped_current == 3
+
+
+def test_persistence_across_reopen(tmp_path, rng):
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    s.insert_batch(np.arange(50), vecs)
+    s.meta.save_index_version(7)
+    s.close()
+
+    km2 = KeyManager(str(tmp_path / "ks.blob"))
+    s2 = PointStore(str(tmp_path / "db"), km2, dim=8)
+    assert s2.meta.index_version == 7
+    out, ok = s2.load_decrypt_batch(np.arange(50))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+    s2.close()
+
+
+def test_crash_tail_ignored(tmp_path, rng):
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8)
+    s.insert_batch(np.arange(10), rng.normal(size=(10, 8)).astype(np.float32))
+    s.close()
+    # simulate torn metadata write
+    meta_path = str(tmp_path / "db" / "meta.log")
+    with open(meta_path, "ab") as f:
+        f.write(b"\x01garbage-partial-record")
+    km2 = KeyManager(str(tmp_path / "ks.blob"))
+    s2 = PointStore(str(tmp_path / "db"), km2, dim=8)
+    assert len(s2.meta) == 10   # tail dropped, committed state intact
+    out, ok = s2.load_decrypt_batch(np.arange(10))
+    assert ok.all()
+    s2.close()
+
+
+def test_metadata_compaction(tmp_path):
+    log = MetadataLog(str(tmp_path / "m.log"))
+    for i in range(100):
+        log.put(i, 1, 8, i * 10)
+    for i in range(100):      # churn: rewrite all at v2
+        log.put(i, 2, 8, i * 10)
+    log.tombstone(7)
+    log.save_index_version(3)
+    size_before = log._f.tell()
+    log.compact()
+    log.close()
+    log2 = MetadataLog(str(tmp_path / "m.log"))
+    assert log2.get(8).key_version == 2
+    assert log2.get(7) is None
+    assert log2.index_version == 3
+    assert log2.count_with_version(2) == 99
+    import os
+    assert os.path.getsize(str(tmp_path / "m.log")) < size_before
+
+
+def test_restore_iter(store, rng):
+    vecs = rng.normal(size=(25, 8)).astype(np.float32)
+    store.insert_batch(np.arange(25), vecs)
+    store.delete([2])
+    got = {}
+    for ids, vs in store.restore_iter(batch=10):
+        for i, v in zip(ids, vs):
+            got[int(i)] = v
+    assert len(got) == 24 and 2 not in got
+    np.testing.assert_allclose(got[3], vecs[3], rtol=1e-6)

@@ -1,0 +1,263 @@
+"""System facade: lifecycle SETUP → INDEX → FINALIZE → QUERY → S-R.E → EXPORT.
+
+Reference counterpart: ``api/ForwardSecureANNSystem.java`` (2,275 lines of
+wiring).  The facade owns: config, keystore, point store, rotation service,
+routing index, token factory, query service, re-encryption tracker, profiler;
+and implements the evaluation loop with recall/ratio metrics at the standard
+K set, end-of-run selective re-encryption, restore, and artifact export.
+
+Like the reference's evaluation mode, distance-ratio computation reads the
+plaintext base (reference ``BaseVectorReader`` mmap :982-1101 — trusted-eval
+shortcut); pass ``base=None`` to skip ratios.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+
+from ..config import SystemConfig, load_config
+from ..crypto.keys import KeyManager
+from ..crypto.rotation import (BackgroundReencryption, KeyRotationService,
+                               ReencryptionTracker, RotationPolicy)
+from ..index.service import PartitionedIndex
+from ..io import loaders
+from ..io.groundtruth import GroundtruthManager
+from ..query.aggregates import Aggregates, write_csvs
+from ..query.service import QueryService
+from ..query.token import QueryTokenFactory
+from ..store.point_store import PointStore
+from ..types import QueryToken
+from ..utils.profiler import Profiler, QueryRow
+
+
+class ForwardSecureANNSystem:
+    def __init__(self, cfg: SystemConfig | str, base_dir: str, dim: int,
+                 query_batch: int = 64):
+        if isinstance(cfg, str):
+            cfg = load_config(cfg)
+        self.cfg = cfg
+        self.base_dir = base_dir
+        self.dim = dim
+        self.query_batch = query_batch
+        os.makedirs(base_dir, exist_ok=True)
+
+        self.km = KeyManager(os.path.join(base_dir, "keystore.blob"),
+                             retention_max=cfg.keys.retention_max)
+        self.store = PointStore(base_dir, self.km, dim)
+        self.rotation = KeyRotationService(
+            self.km, self.store,
+            RotationPolicy(cfg.keys.ops_threshold, cfg.keys.age_threshold_ms))
+        self.index = PartitionedIndex(
+            cfg, dim, bank_path=os.path.join(base_dir, "bank.npz"))
+        self.tokens = QueryTokenFactory(self.index, self.km, dim)
+        self.tracker = ReencryptionTracker()
+        self.query_service = QueryService(self.index, self.store, self.km,
+                                          cfg, self.tracker)
+        self.profiler = Profiler()
+        self.background = None
+        if cfg.reencryption.background_enabled:
+            self.background = BackgroundReencryption(
+                self.rotation, cfg.reencryption.background_interval_s,
+                cfg.reencryption.background_batch)
+            self.background.start()
+
+    # -- INDEX ---------------------------------------------------------------
+
+    def insert(self, point_id: int, vec: np.ndarray) -> None:
+        self.batch_insert(np.array([point_id]),
+                          np.asarray(vec, np.float32)[None, :])
+
+    def batch_insert(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        """Encrypt+persist then stage for routing (reference batchInsert:479;
+        rotation check once per batch :531)."""
+        self.rotation.rotate_if_needed()
+        with self.profiler.timed("insert"):
+            self.store.insert_batch(ids, vecs)
+            self.index.stage(ids, vecs)
+        self.rotation.track_operations(len(ids))
+
+    def index_stream(self, data: np.ndarray | str, batch_size: int = 10_000,
+                     limit: int | None = None) -> int:
+        """Stream a corpus (array or vecs file path) into the system
+        (reference indexStream:438; ids are file ordinals)."""
+        if isinstance(data, str):
+            data = loaders.load_vectors(data)
+        total = 0
+        for start, batch in loaders.stream_batches(data, batch_size, limit):
+            ids = np.arange(start, start + len(batch), dtype=np.int64)
+            self.batch_insert(ids, batch)
+            total += len(batch)
+        return total
+
+    def finalize_for_search(self) -> None:
+        with self.profiler.timed("finalize"):
+            self.index.finalize()
+        self.store.meta.save_index_version(self.km.current_version)
+        self.store.flush()
+
+    def delete(self, ids) -> None:
+        self.store.delete(ids)
+        self.index.mark_deleted(ids)
+
+    # -- QUERY ---------------------------------------------------------------
+
+    def create_token(self, query: np.ndarray, top_k: int) -> QueryToken:
+        return self.tokens.create(query, top_k)
+
+    def search(self, token: QueryToken):
+        if self.background:
+            self.background.note_query()
+        return self.query_service.search(token)
+
+    def run_queries(self, queries: np.ndarray,
+                    gtm: GroundtruthManager | None = None,
+                    base: np.ndarray | None = None,
+                    ks: tuple[int, ...] | None = None) -> Aggregates:
+        """Evaluation loop (reference runQueries:622-747): batch queries,
+        search at MAX_K once, compute metrics per K by prefix slicing."""
+        ks = ks or self.cfg.eval.k_variants
+        max_k = max(ks)
+        queries = np.asarray(queries, np.float32)
+        nq = len(queries)
+        probes = self.cfg.runtime.effective_probes()
+        n_base = max(self.index.size, 1)
+
+        for s in range(0, nq, self.query_batch):
+            q_block = queries[s:s + self.query_batch]
+            toks = self.tokens.create_batch(q_block, max_k)
+            with self.profiler.timed("query"):
+                res = self.query_service.search_batch(toks)
+            if self.background:
+                self.background.note_query()
+            for j in range(len(q_block)):
+                qi = s + j
+                st = res.stats[j]
+                ret_ids = res.ids[j]
+                ret_dist = res.distances[j]
+                for k in ks:
+                    recall, ratio, cand_ratio = self._metrics_at_k(
+                        qi, ret_ids, ret_dist, k, gtm, base, queries, st,
+                        n_base)
+                    self.profiler.record_row(QueryRow(
+                        query_index=qi, k=k, recall_at_k=recall,
+                        distance_ratio_at_k=ratio,
+                        candidate_ratio_at_k=cand_ratio,
+                        cand_raw=st.cand_raw, cand_unique=st.cand_unique,
+                        cand_refined=st.cand_refined,
+                        cand_decrypted=st.cand_decrypted,
+                        returned=st.returned, retried=st.retried,
+                        route_ms=st.route_ns / 1e6,
+                        decrypt_ms=st.decrypt_ns / 1e6,
+                        refine_ms=st.refine_ns / 1e6,
+                        server_ms=st.server_ns / 1e6,
+                        token_key_version=toks[j].key_version,
+                        probes=probes))
+        return Aggregates.from_rows(self.profiler.rows)
+
+    def _metrics_at_k(self, qi, ret_ids, ret_dist, k, gtm, base, queries, st,
+                      n_base):
+        """Recall@K, distance-ratio@K, candidate-ratio@K (reference
+        computeMetricsAtK:770-835; QueryMetrics.java:7-21)."""
+        got = ret_ids[:k]
+        got = got[got >= 0]
+        cand_ratio = st.cand_refined / n_base
+        if gtm is None:
+            return float("nan"), float("nan"), cand_ratio
+        gt = gtm.get(qi, k)
+        recall = len(set(got.tolist()) & set(gt.tolist())) / k
+        ratio = float("nan")
+        if base is not None and len(got):
+            q = queries[qi]
+            d_gt = np.linalg.norm(
+                np.asarray(base[gt], np.float32) - q, axis=1)
+            m = min(len(got), len(gt))
+            d_ret = ret_dist[:m]
+            denom = np.maximum(d_gt[:m], 1e-12)
+            ratio = float(np.mean(np.maximum(d_ret[:m] / denom, 1.0)))
+        return recall, ratio, cand_ratio
+
+    # -- S-R.E (forward security) ----------------------------------------------
+
+    def run_selective_reencryption(self) -> dict:
+        """End-of-run pass (reference runSelectiveReencryptionIfNeeded:1739):
+        force one rotation, drain the touched set, migrate, report."""
+        if not self.cfg.reencryption.enabled:
+            return {"skipped": True}
+        old_version = self.km.current_version
+        self.rotation.force_rotate_now()
+        touched = self.tracker.drain()
+        report = self.rotation.reencrypt_touched(touched,
+                                                 self.km.current_version)
+        remaining = self.rotation.migration_remaining(old_version)
+        out = {
+            "old_version": old_version,
+            "new_version": self.km.current_version,
+            "touched": report.touched, "reencrypted": report.reencrypted,
+            "skipped_current": report.skipped_current,
+            "failed": report.failed, "time_ms": report.time_ms,
+            "bytes_delta": report.bytes_delta,
+            "bytes_after": report.bytes_after,
+            "migration_remaining": remaining,
+        }
+        self._reenc_last = out
+        return out
+
+    # -- RESTORE ------------------------------------------------------------------
+
+    def restore_index_from_disk(self) -> int:
+        """Rebuild routing state by decrypting every live point and
+        re-encoding on device (reference restoreIndexFromDisk:926-948), then
+        pin the persisted index version (activateVersion, query-only)."""
+        n = 0
+        for ids, vecs in self.store.restore_iter():
+            self.index.stage(ids, vecs)
+            n += len(ids)
+        self.index.finalize()
+        saved = self.store.meta.index_version
+        if saved:
+            self.rotation.activate_version(min(saved, self.km.current_version))
+        return n
+
+    # -- EXPORT / SHUTDOWN ----------------------------------------------------------
+
+    def export_artifacts(self, results_dir: str) -> None:
+        """profiler_metrics.csv, summary/accuracy/cost.csv,
+        reencrypt_metrics.csv, metrics_summary.txt with config provenance
+        (reference exportArtifacts:1187-1279)."""
+        os.makedirs(results_dir, exist_ok=True)
+        self.profiler.export_csv(
+            os.path.join(results_dir, "profiler_metrics.csv"))
+        agg = Aggregates.from_rows(self.profiler.rows)
+        write_csvs(agg, results_dir)
+        reenc = getattr(self, "_reenc_last", None)
+        if reenc:
+            with open(os.path.join(results_dir, "reencrypt_metrics.csv"),
+                      "w") as f:
+                f.write(",".join(reenc.keys()) + "\n")
+                f.write(",".join(str(v) for v in reenc.values()) + "\n")
+        cfg_sha = self.cfg.source_sha256 or hashlib.sha256(
+            json.dumps(str(self.cfg)).encode()).hexdigest()
+        with open(os.path.join(results_dir, "metrics_summary.txt"), "w") as f:
+            f.write(f"config_sha256={cfg_sha}\n")
+            f.write(f"profile={self.cfg.profile_name}\n")
+            f.write(f"key_version={self.km.current_version}\n")
+            f.write(f"index_size={self.index.size}\n")
+            f.write(f"storage_bytes={self.store.size_bytes()}\n")
+            f.write(agg.paper_line() + "\n")
+            f.write(f"generated_at={time.strftime('%Y-%m-%dT%H:%M:%S')}\n")
+
+    def flush_all(self) -> None:
+        self.store.meta.save_index_version(self.km.current_version)
+        self.store.flush()
+        self.km.persist()
+
+    def shutdown(self) -> None:
+        if self.background:
+            self.background.stop()
+        self.flush_all()
+        self.store.close()

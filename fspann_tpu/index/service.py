@@ -1,0 +1,228 @@
+"""Partitioned routing index: staging → device build → frozen query state.
+
+Reference counterpart: ``index/paper/PartitionedIndexService.java`` —
+buffers an initialization sample (:50-51, :280-290), stages per-point codes
+(:314-347), ``finalizeForSearch`` builds greedy partitions and freezes
+(:789-845), query-side candidate lookup (:592-715), tombstone filtering
+(:726-753), probe overrides (:868-888).
+
+TPU-first redesign: no per-point objects.  Ingestion stages packed codes in
+host arrays (encoded in device batches as they arrive); ``finalize`` ships
+``[G, N]`` keys + codes to HBM and runs the batched sort build.  The frozen
+state is an immutable pytree; rotation/re-encryption never touches it.
+
+This module holds NO cipher state — routing–ciphertext orthogonality is a
+structural property here, not a convention: the class cannot see keys or
+ciphertexts at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..ops import coding, partition, routing
+from ..ops.partition import PartitionTable
+
+
+class IndexNotFinalized(RuntimeError):
+    pass
+
+
+class PartitionedIndex:
+    SAMPLE_THRESHOLD = 1000   # reference PartitionedIndexService.java:50-51
+
+    def __init__(self, cfg: SystemConfig, dim: int,
+                 bank_path: str | None = None):
+        self.cfg = cfg
+        self.dim = dim
+        self.bank_path = bank_path
+        self.bank: coding.GBank | None = None
+        self.frozen = False
+        self.table: PartitionTable | None = None
+        # staging
+        self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
+        self._pending_ids: list[np.ndarray] = []
+        self._codes: list[np.ndarray] = []          # [b, G, W] uint32
+        self._keys: list[np.ndarray] = []           # [b, G] int64
+        self._ids: list[np.ndarray] = []
+        self._staged = 0
+        self._max_id = -1
+        self._deleted: set[int] = set()
+        self._tombstones_dev = None
+        self._tombstones_dirty = True
+        if bank_path and os.path.exists(bank_path):
+            self._load_bank(bank_path)
+
+    # -- bank lifecycle ---------------------------------------------------------
+
+    def _init_bank(self, sample: np.ndarray) -> None:
+        pp = self.cfg.paper
+        self.bank = coding.build_bank_from_sample(
+            sample, pp.m, pp.lam, pp.tables, pp.divisions, pp.seed,
+            pp.omega_divisor)
+        if self.bank_path:
+            self._save_bank(self.bank_path)
+
+    def _save_bank(self, path: str) -> None:
+        """Persist (omega, r) stats + hyperparams; alpha regenerates from the
+        seed, making the routing state checkpointable by a few KB (SURVEY §5:
+        'index is a deterministic function of seed+config+stats')."""
+        b = self.bank
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        np.savez(tmp, omega=np.asarray(b.omega), r=np.asarray(b.r),
+                 m=b.m, lam=b.lam, tables=b.tables, divisions=b.divisions,
+                 seed=b.seed, dim=self.dim)
+        os.replace(tmp + ".npz", path)
+
+    def _load_bank(self, path: str) -> None:
+        z = np.load(path)
+        if int(z["dim"]) != self.dim:
+            raise ValueError(f"bank dim {int(z['dim'])} != index dim {self.dim}")
+        pp = self.cfg.paper
+        if (int(z["m"]), int(z["lam"]), int(z["tables"]),
+                int(z["divisions"])) != (pp.m, pp.lam, pp.tables, pp.divisions):
+            # reference hard-asserts registry↔config match (index:809-817)
+            raise ValueError("persisted bank hyperparams do not match config")
+        self.bank = coding.bank_from_stats(
+            z["omega"], z["r"], self.dim, pp.m, pp.lam, pp.tables,
+            pp.divisions, int(z["seed"]))
+
+    # -- ingestion ----------------------------------------------------------------
+
+    def stage(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        """Stage a batch for the next finalize.  Coding runs immediately once
+        the bank exists (one device batch per insert batch — replacing the
+        reference's per-vector tables×divisions×m dot products,
+        PartitionedIndexService.java:331-346)."""
+        if self.frozen:
+            raise RuntimeError("index is finalized; no further staging")
+        ids = np.asarray(ids, np.int64)
+        vecs = np.asarray(vecs, np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected [*, {self.dim}] vectors, "
+                             f"got {vecs.shape}")
+        if len(ids) != len(vecs):
+            raise ValueError("ids/vecs length mismatch")
+        if (ids < 0).any():
+            raise ValueError("ids must be non-negative")
+        if not np.isfinite(vecs).all():
+            raise ValueError("vectors contain NaN/Inf")
+        self._max_id = max(self._max_id, int(ids.max()) if len(ids) else -1)
+
+        if self.bank is None:
+            self._pending_ids.append(ids)
+            self._pending_vecs.append(vecs)
+            buffered = sum(len(v) for v in self._pending_vecs)
+            if buffered >= self.SAMPLE_THRESHOLD:
+                sample = np.concatenate(self._pending_vecs)
+                self._init_bank(sample)
+                self._encode_staged(np.concatenate(self._pending_ids), sample)
+                self._pending_ids.clear()
+                self._pending_vecs.clear()
+            return
+        self._encode_staged(ids, vecs)
+
+    def _encode_staged(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        codes, keys = coding.encode(jnp.asarray(vecs), self.bank)
+        self._codes.append(np.asarray(codes))
+        self._keys.append(np.asarray(keys))
+        self._ids.append(ids)
+        self._staged += len(ids)
+
+    # -- finalize -------------------------------------------------------------------
+
+    def finalize(self) -> None:
+        """Flush pending staging, build partitions on device, freeze
+        (reference finalizeForSearch:789-845)."""
+        if self._pending_vecs:   # corpus smaller than the sample threshold
+            sample = np.concatenate(self._pending_vecs)
+            if self.bank is None:
+                self._init_bank(sample)
+            self._encode_staged(np.concatenate(self._pending_ids), sample)
+            self._pending_ids.clear()
+            self._pending_vecs.clear()
+        if self._staged == 0:
+            raise RuntimeError("nothing staged; cannot finalize empty index")
+
+        ids = np.concatenate(self._ids)
+        codes = np.concatenate(self._codes)       # [N, G, W]
+        keys = np.concatenate(self._keys)         # [N, G]
+        order = np.argsort(ids, kind="stable")
+        ids, codes, keys = ids[order], codes[order], keys[order]
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError("duplicate ids staged")
+
+        # Dense row space: routing returns row indices mapped back to ids.
+        self._row_ids = ids.astype(np.int64)
+        self._dense = bool(len(ids) and ids[0] == 0
+                           and ids[-1] == len(ids) - 1)
+        codes_gn = jnp.asarray(np.transpose(codes, (1, 0, 2)))
+        keys_gn = jnp.asarray(np.transpose(keys, (1, 0)))
+        self.table = partition.build_partitions(keys_gn, codes_gn,
+                                                self.cfg.runtime.block_size)
+        self._n_rows = len(ids)
+        self._codes.clear(); self._keys.clear(); self._ids.clear()
+        self.frozen = True
+        self._tombstones_dirty = True
+
+    # -- deletion ---------------------------------------------------------------------
+
+    def mark_deleted(self, ids) -> None:
+        for i in np.atleast_1d(np.asarray(ids)):
+            self._deleted.add(int(i))
+        self._tombstones_dirty = True
+
+    def _tombstones(self):
+        if self._tombstones_dirty or self._tombstones_dev is None:
+            t = np.zeros(self._n_rows, bool)
+            if self._deleted:
+                if self._dense:
+                    dead = np.fromiter(
+                        (i for i in self._deleted if i < self._n_rows),
+                        np.int64)
+                    t[dead] = True
+                else:
+                    mask = np.isin(self._row_ids,
+                                   np.fromiter(self._deleted, np.int64))
+                    t[mask] = True
+            self._tombstones_dev = jnp.asarray(t)
+            self._tombstones_dirty = False
+        return self._tombstones_dev
+
+    # -- query ------------------------------------------------------------------------
+
+    def encode_queries(self, queries: np.ndarray):
+        if self.bank is None:
+            raise IndexNotFinalized("bank not initialized")
+        qc, qk = coding.encode(jnp.asarray(queries, jnp.float32), self.bank)
+        return qc, qk
+
+    def route_batch(self, qcodes, qkeys, probes: int | None = None,
+                    refinement_limit: int | None = None) -> routing.RouteResult:
+        """Stage A for a query batch.  Returned ids are EXTERNAL point ids."""
+        if not self.frozen or self.table is None:
+            raise IndexNotFinalized(
+                "query before finalizeForSearch "
+                "(reference PartitionedIndexService.java:461)")
+        rt = self.cfg.runtime
+        probes = probes or rt.effective_probes()
+        limit = refinement_limit or rt.refinement_limit
+        res = routing.route(self.table, qcodes, qkeys, self._tombstones(),
+                            probes, limit)
+        if not self._dense:
+            rid = np.asarray(res.ids)
+            mapped = np.where(rid >= 0, self._row_ids[np.maximum(rid, 0)], -1)
+            res = routing.RouteResult(mapped, np.asarray(res.scores),
+                                      np.asarray(res.n_unique),
+                                      np.asarray(res.n_raw))
+        return res
+
+    @property
+    def size(self) -> int:
+        return (self._n_rows if self.frozen else self._staged) \
+            - len(self._deleted)

@@ -1,0 +1,100 @@
+"""Reduce per-query rows into the paper's evaluation summary.
+
+Reference counterparts: ``query/core/Aggregates.java`` (:50-147 — mean ART,
+ratio@K map, recall@K map, candidate pipeline means; headline = ratio@100 +
+recall@10 :124-127) and ``query/core/EvaluationSummaryPrinter.java``
+(summary.csv / accuracy.csv / cost.csv writers, standard K set :13).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+
+from ..utils.profiler import QueryRow
+
+STANDARD_KS = (1, 10, 20, 40, 60, 80, 100)
+
+
+@dataclass
+class Aggregates:
+    num_queries: int = 0
+    mean_art_ms: float = 0.0
+    recall_at_k: dict[int, float] = field(default_factory=dict)
+    ratio_at_k: dict[int, float] = field(default_factory=dict)
+    candidate_ratio_at_k: dict[int, float] = field(default_factory=dict)
+    mean_cand_unique: float = 0.0
+    mean_cand_decrypted: float = 0.0
+    mean_returned: float = 0.0
+    retry_fraction: float = 0.0
+
+    @property
+    def headline(self) -> tuple[float, float]:
+        """(ratio@maxK, recall@10) — reference Aggregates.java:124-127."""
+        max_k = max(self.ratio_at_k) if self.ratio_at_k else 0
+        return (self.ratio_at_k.get(max_k, float("nan")),
+                self.recall_at_k.get(10, float("nan")))
+
+    @classmethod
+    def from_rows(cls, rows: list[QueryRow]) -> "Aggregates":
+        if not rows:
+            return cls()
+        by_k: dict[int, list[QueryRow]] = {}
+        per_query: dict[int, QueryRow] = {}
+        for r in rows:
+            by_k.setdefault(r.k, []).append(r)
+            per_query[r.query_index] = r
+        qrows = list(per_query.values())
+        n = len(qrows)
+        agg = cls(num_queries=n)
+        agg.mean_art_ms = sum(r.server_ms for r in qrows) / n
+        for k, rs in by_k.items():
+            agg.recall_at_k[k] = sum(r.recall_at_k for r in rs) / len(rs)
+            ratios = [r.distance_ratio_at_k for r in rs
+                      if r.distance_ratio_at_k == r.distance_ratio_at_k]
+            agg.ratio_at_k[k] = (sum(ratios) / len(ratios)) if ratios \
+                else float("nan")
+            agg.candidate_ratio_at_k[k] = \
+                sum(r.candidate_ratio_at_k for r in rs) / len(rs)
+        agg.mean_cand_unique = sum(r.cand_unique for r in qrows) / n
+        agg.mean_cand_decrypted = sum(r.cand_decrypted for r in qrows) / n
+        agg.mean_returned = sum(r.returned for r in qrows) / n
+        agg.retry_fraction = sum(1 for r in qrows if r.retried) / n
+        return agg
+
+    def paper_line(self) -> str:
+        ratio, recall10 = self.headline
+        return (f"queries={self.num_queries} ART={self.mean_art_ms:.1f}ms "
+                f"ratio={ratio:.4f} recall@10={recall10:.4f} "
+                f"cands={self.mean_cand_unique:.0f} "
+                f"decrypted={self.mean_cand_decrypted:.0f} "
+                f"retries={self.retry_fraction:.2%}")
+
+
+def write_csvs(agg: Aggregates, out_dir: str) -> None:
+    """summary.csv / accuracy.csv / cost.csv
+    (reference EvaluationSummaryPrinter.java:64-76)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ks = sorted(agg.recall_at_k)
+    with open(os.path.join(out_dir, "summary.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["num_queries", "mean_art_ms", "mean_cand_unique",
+                    "mean_cand_decrypted", "mean_returned", "retry_fraction"])
+        w.writerow([agg.num_queries, f"{agg.mean_art_ms:.3f}",
+                    f"{agg.mean_cand_unique:.1f}",
+                    f"{agg.mean_cand_decrypted:.1f}",
+                    f"{agg.mean_returned:.1f}", f"{agg.retry_fraction:.4f}"])
+    with open(os.path.join(out_dir, "accuracy.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "recall_at_k", "distance_ratio_at_k",
+                    "candidate_ratio_at_k"])
+        for k in ks:
+            w.writerow([k, f"{agg.recall_at_k[k]:.6f}",
+                        f"{agg.ratio_at_k[k]:.6f}",
+                        f"{agg.candidate_ratio_at_k[k]:.6f}"])
+    with open(os.path.join(out_dir, "cost.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metric", "value"])
+        w.writerow(["mean_art_ms", f"{agg.mean_art_ms:.3f}"])
+        w.writerow(["mean_cand_decrypted", f"{agg.mean_cand_decrypted:.1f}"])

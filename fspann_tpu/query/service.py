@@ -1,0 +1,156 @@
+"""Decrypt-and-refine query execution (reference query/QueryServiceImpl.java).
+
+Pipeline per batch of tokens:
+  Stage A  — device routing: ranked candidate ids per query (index.route_batch)
+  Stage B  — host bulk load + ONE batched multi-key AES-GCM open
+  Stage C  — device exact L2 + top-K
+  Retry    — queries with returned < K or decrypted < min(10*K, limit) are
+             re-run ONCE as a sub-batch with widened probes (reference
+             adaptive retry :327-337, needRetry :444-447; probeOverride=10)
+  Tracking — successfully refined ids recorded into the ReencryptionTracker
+             (reference :342-351 in a finally block)
+
+The reference walks candidates one at a time through RocksDB + JCE; here the
+whole batch crosses the host↔device boundary twice (ids down, vectors up).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..crypto.keys import KeyManager
+from ..crypto.rotation import ReencryptionTracker
+from ..index.service import PartitionedIndex
+from ..ops import refine as refine_ops
+from ..store.point_store import PointStore
+from ..types import QueryResult, QueryToken, SearchStats
+
+
+@dataclass
+class BatchSearchResult:
+    ids: np.ndarray          # int64 [Q, K], -1 pad
+    distances: np.ndarray    # f32 [Q, K], inf pad
+    stats: list[SearchStats] = field(default_factory=list)
+
+    def results(self, qi: int) -> list[QueryResult]:
+        out = []
+        for pid, d in zip(self.ids[qi], self.distances[qi]):
+            if pid >= 0 and np.isfinite(d):
+                out.append(QueryResult(int(pid), float(d)))
+        return out
+
+
+class QueryService:
+    def __init__(self, index: PartitionedIndex, store: PointStore,
+                 km: KeyManager, cfg: SystemConfig,
+                 tracker: ReencryptionTracker | None = None):
+        self.index = index
+        self.store = store
+        self.km = km
+        self.cfg = cfg
+        self.tracker = tracker
+        self.last_stats: list[SearchStats] = []
+
+    # -- public ------------------------------------------------------------------
+
+    def search(self, token: QueryToken) -> list[QueryResult]:
+        batch = self.search_batch([token])
+        return batch.results(0)
+
+    def search_batch(self, tokens: list[QueryToken]) -> BatchSearchResult:
+        if not tokens:
+            return BatchSearchResult(np.zeros((0, 0), np.int64),
+                                     np.zeros((0, 0), np.float32))
+        t_start = time.perf_counter()
+        k = max(t.top_k for t in tokens)
+        rt = self.cfg.runtime
+
+        qvecs = self._decrypt_queries(tokens)
+        ids, dists, stats = self._run_pass(tokens, qvecs,
+                                           rt.effective_probes(),
+                                           rt.refinement_limit, k)
+
+        # Adaptive retry (once) for underfilled queries.
+        need = [qi for qi, s in enumerate(stats) if self._need_retry(s, k)]
+        if need and rt.retry_probes > rt.effective_probes():
+            sub_tokens = [tokens[qi] for qi in need]
+            sub_q = qvecs[need]
+            rids, rdists, rstats = self._run_pass(
+                sub_tokens, sub_q, rt.retry_probes, rt.refinement_limit, k)
+            for j, qi in enumerate(need):
+                ids[qi], dists[qi] = rids[j], rdists[j]
+                rstats[j].retried = True
+                stats[qi] = rstats[j]
+
+        total = time.perf_counter() - t_start
+        for s in stats:
+            s.server_ns = int(total * 1e9 / len(tokens))
+        if self.tracker is not None:
+            touched = ids[ids >= 0]
+            self.tracker.record(touched.tolist())
+        self.last_stats = stats
+        return BatchSearchResult(ids, dists, stats)
+
+    # -- internals ----------------------------------------------------------------
+
+    def _decrypt_queries(self, tokens: list[QueryToken]) -> np.ndarray:
+        """Server-side token decrypt under the token's key version
+        (trusted-eval shortcut, reference QueryServiceImpl.java:124-135
+        with current-version fallback)."""
+        out = np.empty((len(tokens), self.index.dim), np.float32)
+        for i, t in enumerate(tokens):
+            try:
+                gcm = self.km.gcm_for(t.key_version)
+            except KeyError:
+                gcm = self.km.gcm_for(self.km.current_version)
+            pt = gcm.open(t.iv, t.encrypted_query)
+            out[i] = np.frombuffer(pt, "<f4")
+        return out
+
+    def _need_retry(self, s: SearchStats, k: int) -> bool:
+        """Reference needRetry:444-447: returned < K or decrypted < 10*K."""
+        return s.returned < k or s.cand_decrypted < min(
+            10 * k, self.cfg.runtime.refinement_limit)
+
+    def _run_pass(self, tokens, qvecs, probes, limit, k):
+        t0 = time.perf_counter()
+        qc = jnp.asarray(np.stack([t.codes for t in tokens]))
+        qk = jnp.asarray(np.stack([t.keys for t in tokens]))
+        routed = self.index.route_batch(qc, qk, probes, limit)
+        cand_ids = np.asarray(routed.ids)              # [Q, R]
+        n_unique = np.asarray(routed.n_unique)
+        n_raw = np.asarray(routed.n_raw)
+        t1 = time.perf_counter()
+
+        q, r = cand_ids.shape
+        flat = cand_ids.reshape(-1)
+        vecs_flat, ok_flat = self.store.load_decrypt_batch(flat)
+        cand_vecs = vecs_flat.reshape(q, r, self.index.dim)
+        valid = ok_flat.reshape(q, r)
+        t2 = time.perf_counter()
+
+        res = refine_ops.refine(jnp.asarray(qvecs), jnp.asarray(cand_vecs),
+                                jnp.asarray(cand_ids, jnp.int32),
+                                jnp.asarray(valid), k)
+        ids = np.array(res.ids, np.int64)        # copy: retry pass mutates
+        dists = np.array(res.distances, np.float32)
+        n_scored = np.asarray(res.n_scored)
+        t3 = time.perf_counter()
+
+        stats = []
+        for qi in range(q):
+            returned = int((ids[qi] >= 0).sum())
+            stats.append(SearchStats(
+                cand_raw=int(n_raw[qi]), cand_unique=int(n_unique[qi]),
+                cand_refined=int((cand_ids[qi] >= 0).sum()),
+                cand_decrypted=int(n_scored[qi]), returned=returned,
+                route_ns=int((t1 - t0) * 1e9 / q),
+                decrypt_ns=int((t2 - t1) * 1e9 / q),
+                refine_ns=int((t3 - t2) * 1e9 / q)))
+        return ids, dists, stats

@@ -1,0 +1,189 @@
+"""Full-pipeline integration tests (reference api/ + it/ suites):
+index → finalize → encrypted query → selective re-encryption → restore.
+"""
+
+import numpy as np
+import pytest
+
+from fspann_tpu.api.system import ForwardSecureANNSystem
+from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig, EvalConfig
+from fspann_tpu.io import groundtruth
+import dataclasses
+
+
+DIM = 16
+N = 1500
+
+
+def small_cfg(**runtime_kw):
+    return SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=600, max_global_candidates=600,
+                              block_size=32, **runtime_kw),
+        eval=EvalConfig(k_variants=(1, 10)),
+    ).validate()
+
+
+@pytest.fixture
+def corpus(rng):
+    centers = rng.normal(size=(16, DIM)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, N)] + \
+        rng.normal(size=(N, DIM)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, 20)] + \
+        rng.normal(size=(20, DIM)).astype(np.float32)
+    return base, queries
+
+
+def make_system(tmp_path, name="sys"):
+    return ForwardSecureANNSystem(small_cfg(), str(tmp_path / name), DIM,
+                                  query_batch=8)
+
+
+def test_full_pipeline(tmp_path, corpus):
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        assert sys_.index_stream(base, batch_size=400) == N
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries, k=10)
+        agg = sys_.run_queries(queries, gtm, base)
+        assert agg.num_queries == 20
+        assert agg.recall_at_k[10] > 0.9, agg.paper_line()
+        assert agg.ratio_at_k[10] < 1.05
+        assert agg.mean_cand_decrypted > 0
+        # encrypted query path returns exact distances
+        tok = sys_.create_token(queries[0], 5)
+        res = sys_.search(tok)
+        assert len(res) == 5
+        d0 = np.linalg.norm(base[res[0].id] - queries[0])
+        assert abs(res[0].distance - d0) < 1e-3
+    finally:
+        sys_.shutdown()
+
+
+def test_query_before_finalize_raises(tmp_path, corpus):
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base[:1200], batch_size=600)
+        tok = sys_.create_token(queries[0], 5)
+        with pytest.raises(Exception, match="finaliz"):
+            sys_.search(tok)
+    finally:
+        sys_.shutdown()
+
+
+def test_dimension_mismatch_raises(tmp_path, corpus):
+    base, _ = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        with pytest.raises(ValueError):
+            sys_.batch_insert(np.arange(5), np.zeros((5, DIM + 1), np.float32))
+        with pytest.raises(ValueError):
+            bad = np.zeros((5, DIM), np.float32)
+            bad[0, 0] = np.nan
+            sys_.batch_insert(np.arange(5), bad)
+    finally:
+        sys_.shutdown()
+
+
+def test_selective_reencryption_and_query_stability(tmp_path, corpus):
+    """Recall stable across rotation epochs (BASELINE.json config 4)."""
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries, k=10)
+        agg1 = sys_.run_queries(queries, gtm, base)
+        r1 = agg1.recall_at_k[10]
+        rep = sys_.run_selective_reencryption()
+        assert rep["reencrypted"] > 0
+        assert rep["new_version"] == 2
+        # queries still work against mixed-version ciphertexts
+        sys_.profiler.rows.clear()
+        agg2 = sys_.run_queries(queries, gtm, base)
+        assert agg2.recall_at_k[10] == pytest.approx(r1, abs=1e-9), \
+            "rotation must not change routing results"
+    finally:
+        sys_.shutdown()
+
+
+def test_deletion_excluded_from_results(tmp_path, corpus):
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        tok = sys_.create_token(queries[0], 10)
+        res = sys_.search(tok)
+        victim = res[0].id
+        sys_.delete([victim])
+        res2 = sys_.search(sys_.create_token(queries[0], 10))
+        assert victim not in [r.id for r in res2]
+    finally:
+        sys_.shutdown()
+
+
+def test_restore_from_disk(tmp_path, corpus):
+    """Shutdown → reopen → restore → identical query results (reference
+    SuperSystemLifecycleIT; routing state rebuilt deterministically from the
+    persisted bank stats + decrypted ciphertexts)."""
+    base, queries = corpus
+    sys1 = make_system(tmp_path)
+    sys1.index_stream(base, batch_size=500)
+    sys1.finalize_for_search()
+    tok = sys1.create_token(queries[0], 10)
+    res1 = sys1.search(tok)
+    sys1.shutdown()
+
+    sys2 = make_system(tmp_path)   # same base_dir
+    try:
+        n = sys2.restore_index_from_disk()
+        assert n == N
+        res2 = sys2.search(sys2.create_token(queries[0], 10))
+        assert [r.id for r in res1] == [r.id for r in res2]
+        np.testing.assert_allclose([r.distance for r in res1],
+                                   [r.distance for r in res2], rtol=1e-5)
+    finally:
+        sys2.shutdown()
+
+
+def test_export_artifacts(tmp_path, corpus):
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries[:5], k=10)
+        sys_.run_queries(queries[:5], gtm, base)
+        sys_.run_selective_reencryption()
+        out = str(tmp_path / "results")
+        sys_.export_artifacts(out)
+        import os
+        for f in ("profiler_metrics.csv", "summary.csv", "accuracy.csv",
+                  "cost.csv", "metrics_summary.txt", "reencrypt_metrics.csv"):
+            assert os.path.exists(os.path.join(out, f)), f
+    finally:
+        sys_.shutdown()
+
+
+def test_adaptive_retry_triggers(tmp_path, corpus):
+    """With probes=1 and tiny refinement limit, underfilled queries retry
+    once with widened probes (reference QueryServiceImpl:327-337)."""
+    base, queries = corpus
+    cfg = small_cfg(probe_override=1, retry_probes=6)
+    sys_ = ForwardSecureANNSystem(cfg, str(tmp_path / "sys"), DIM,
+                                  query_batch=8)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        # Starve stage A: tombstone 90% of the corpus so decrypted < 10*K,
+        # forcing the retry branch.
+        sys_.delete(np.arange(0, N, dtype=np.int64)[:- (N // 10)])
+        gtm = groundtruth.precompute(base, queries, k=10)
+        sys_.run_queries(queries, gtm)
+        retried = [r for r in sys_.profiler.rows if r.retried]
+        assert retried, "expected at least one adaptive retry"
+    finally:
+        sys_.shutdown()

@@ -1,0 +1,100 @@
+"""Round benchmark: encrypted query throughput on a SIFT1M-scale corpus.
+
+Runs the FULL encrypted pipeline (device routing + host AES-GCM decrypt +
+device refine) on the real TPU chip and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Baseline: the Java reference's best sub-1.5s profile on SIFT1M,
+SIFT_P4_FAST — ART 1429.8 ms/query ⇒ 0.699 q/s (BASELINE.md, measured on a
+~354 GB-heap server).  vs_baseline = our encrypted q/s ÷ 0.699.
+
+Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
+BENCH_BATCH (64).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    d = int(os.environ.get("BENCH_D", 128))
+    q = int(os.environ.get("BENCH_Q", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    k = 10
+
+    from fspann_tpu.api.system import ForwardSecureANNSystem
+    from fspann_tpu.config import SystemConfig
+    from fspann_tpu.io import groundtruth
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(42)
+    n_clusters = 1024
+    centers = (rng.normal(size=(n_clusters, d)) * 6).astype(np.float32)
+    base = np.empty((n, d), np.float32)
+    chunk = 200_000
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        asg = rng.integers(0, n_clusters, e - s)
+        base[s:e] = centers[asg] + rng.normal(size=(e - s, d)).astype(np.float32)
+    queries = centers[rng.integers(0, n_clusters, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32)
+
+    work = tempfile.mkdtemp(prefix="fspann_bench_")
+    try:
+        sys_ = ForwardSecureANNSystem(SystemConfig(), os.path.join(work, "db"),
+                                      d, query_batch=batch)
+        t0 = time.perf_counter()
+        sys_.index_stream(base, batch_size=100_000)
+        sys_.finalize_for_search()
+        t_build = time.perf_counter() - t0
+        log(f"build: {t_build:.1f}s for {n} pts "
+            f"({sys_.store.size_bytes()/1e6:.0f} MB ciphertext) "
+            f"stages={ {k: round(v, 1) for k, v in sys_.profiler.summary().items()} }")
+
+        t0 = time.perf_counter()
+        gtm = groundtruth.precompute(base, queries, k=100)
+        log(f"GT precompute: {time.perf_counter()-t0:.1f}s")
+
+        # Warmup (compile) on a small slice, then timed run.
+        sys_.run_queries(queries[:batch], gtm, base, ks=(10,))
+        sys_.profiler.rows.clear()
+        t0 = time.perf_counter()
+        agg = sys_.run_queries(queries, gtm, base, ks=(1, 10, 100))
+        wall = time.perf_counter() - t0
+        qps = q / wall
+        recall10 = agg.recall_at_k[10]
+        ratio = agg.ratio_at_k.get(100, float("nan"))
+        log(f"queries: {agg.paper_line()}  wall {wall:.2f}s -> {qps:.1f} q/s")
+
+        baseline_qps = 1000.0 / 1429.8   # SIFT_P4_FAST ART
+        print(json.dumps({
+            "metric": "encrypted_query_throughput_sift1m_like",
+            "value": round(qps, 2),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / baseline_qps, 1),
+            "recall_at_10": round(recall10, 4),
+            "distance_ratio_at_100": round(ratio, 4),
+            "art_ms": round(1000.0 * wall / q, 2),
+            "build_s": round(t_build, 1),
+            "n": n, "d": d, "queries": q,
+        }))
+        sys_.shutdown()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,8 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
-import math
 import os
+import warnings
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -70,6 +70,11 @@ class RuntimeConfig:
     hamming_prefilter_threshold: int = 0  # 0 = disabled
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
+    # Stage-C backend: "host" scores decrypted candidates with BLAS on the
+    # host (no candidate upload — right when the TPU is behind a slow link
+    # or the host is close to the arenas); "device" ships [Q,R,d] to the
+    # chip and uses the fused refine kernel (right on local-PCIe TPUs).
+    refine_backend: str = "host"
 
     @property
     def hard_cap(self) -> int:
@@ -189,11 +194,34 @@ def _coerce_block(cls: type, base: Any, data: dict[str, Any]) -> Any:
     for k, v in data.items():
         k = _FIELD_ALIASES.get(k, k)
         if k not in names:
-            raise KeyError(f"unknown config field {k!r} for {cls.__name__}")
+            # tolerate foreign/vestigial keys (the reference configs carry
+            # e.g. maxCandidateFactor, precisionMode — vestigial per SURVEY
+            # §5) but surface them so typos aren't silent
+            warnings.warn(f"ignoring unknown config field {k!r} "
+                          f"for {cls.__name__}", stacklevel=2)
+            continue
         if k == "k_variants":
             v = tuple(int(x) for x in v)
         kwargs[k] = v
     return dataclasses.replace(base, **kwargs)
+
+
+def _profiles_table(data: dict[str, Any]) -> dict[str, dict]:
+    """Profiles as {name: blocks}.  Accepts both our dict shape and the
+    reference's list shape ``[{"name": ..., "overrides": {...}}, ...]``
+    (reference SystemConfig.java:129-182)."""
+    profiles = data.get("profiles", {})
+    if isinstance(profiles, list):
+        return {p["name"]: p.get("overrides", p) for p in profiles}
+    return profiles
+
+
+_TOP_LEVEL_KEYS = {
+    # reference top-level scalars → our keys/reencryption blocks
+    "opsThreshold": ("keys", "ops_threshold"),
+    "ageThresholdMs": ("keys", "age_threshold_ms"),
+    "reencryptionEnabled": ("reencryption", "enabled"),
+}
 
 
 def _apply_blocks(cfg: SystemConfig, data: dict[str, Any]) -> SystemConfig:
@@ -201,7 +229,13 @@ def _apply_blocks(cfg: SystemConfig, data: dict[str, Any]) -> SystemConfig:
     for block, cls in _BLOCK_TYPES.items():
         if block in data and data[block] is not None:
             updates[block] = _coerce_block(cls, getattr(cfg, block), data[block])
-    return dataclasses.replace(cfg, **updates)
+    cfg = dataclasses.replace(cfg, **updates)
+    for key, (block, fieldname) in _TOP_LEVEL_KEYS.items():
+        if key in data:
+            blk = dataclasses.replace(getattr(cfg, block),
+                                      **{fieldname: data[key]})
+            cfg = dataclasses.replace(cfg, **{block: blk})
+    return cfg
 
 
 def load_config(path: str | os.PathLike | None = None,
@@ -227,7 +261,7 @@ def load_config(path: str | os.PathLike | None = None,
         data = json.loads(raw)
         cfg = _apply_blocks(cfg, data)
         if profile:
-            profiles = data.get("profiles", {})
+            profiles = _profiles_table(data)
             if profile not in profiles:
                 raise KeyError(f"profile {profile!r} not found in {path}; "
                                f"available: {sorted(profiles)}")

@@ -116,7 +116,15 @@ class GcmKey:
         return pt.tobytes()
 
 
-def _flat_extents(chunks: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _flat_extents(chunks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Accepts a list of bytes OR a uint8 [n, L] matrix (fixed-width fast
+    path used for AAD batches)."""
+    if isinstance(chunks, np.ndarray):
+        n, width = chunks.shape
+        buf = np.ascontiguousarray(chunks).reshape(-1)
+        offs = np.arange(n, dtype=np.uint64) * width
+        lens = np.full(n, width, np.uint64)
+        return buf, offs, lens
     lens = np.array([len(c) for c in chunks], np.uint64)
     offs = np.zeros(len(chunks), np.uint64)
     if len(chunks):

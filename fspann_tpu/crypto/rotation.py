@@ -18,10 +18,11 @@ Reference counterparts:
 
 from __future__ import annotations
 
-import random
 import threading
 import time
 from dataclasses import dataclass, field
+
+import numpy as np
 
 from ..store.point_store import PointStore, ReencryptReport
 from .keys import KeyManager
@@ -172,12 +173,11 @@ class BackgroundReencryption:
     def run_once(self) -> int:
         """One migration pass: sample stale ids below current version."""
         cur = self.svc.km.current_version
-        meta = self.svc.store.meta
-        stale = [pid for pid, m in meta.table.items()
-                 if not m.deleted and m.key_version < cur]
-        if not stale:
+        stale = self.svc.store.meta.stale_ids(cur)
+        if not len(stale):
             return 0
-        sample = random.sample(stale, min(self.batch, len(stale)))
+        take = min(self.batch, len(stale))
+        sample = np.random.default_rng().choice(stale, take, replace=False)
         report = self.svc.reencrypt_touched(sample, cur)
         self.migrated_total += report.reencrypted
         self.passes += 1

@@ -94,30 +94,33 @@ def build_random_bank(d: int, m: int, lam: int, tables: int, divisions: int,
     return GBank(alpha, r, om, m, lam, tables, divisions, seed)
 
 
-@partial(jax.jit, static_argnames=("m", "lam", "tables", "divisions", "seed",
-                                   "omega_divisor"))
-def _bank_from_sample(sample: jax.Array, m: int, lam: int, tables: int,
-                      divisions: int, seed: int, omega_divisor: float) -> tuple:
-    g = tables * divisions
-    d = sample.shape[-1]
-    alpha = _alpha_from_seed(seed, g, m, d)
+@partial(jax.jit, static_argnames=("omega_divisor",))
+def _omega_from_sample(sample: jax.Array, alpha: jax.Array, r_unit: jax.Array,
+                       omega_divisor: float) -> tuple:
     # [S, G, m] projections of the sample; one big MXU matmul.
     proj = jnp.einsum("sd,gmd->sgm", sample.astype(jnp.float32), alpha,
                       precision=jax.lax.Precision.HIGHEST)
     rng = jnp.max(proj, axis=0) - jnp.min(proj, axis=0)          # [G, m]
     omega = jnp.maximum(rng, 1e-6) / jnp.float32(omega_divisor)  # ref :224-236
     omega = jnp.where(omega > 0, omega, 1e-3)
-    r = _r_unit_from_seed(seed, g, m) * omega
-    return alpha, r, omega
+    return r_unit * omega, omega
 
 
 def build_bank_from_sample(sample: np.ndarray | jax.Array, m: int, lam: int,
                            tables: int, divisions: int, seed: int,
                            omega_divisor: float = 2.5) -> GBank:
-    """Data-adaptive bank (reference Coding.buildFromSample:184-241)."""
-    alpha, r, omega = _bank_from_sample(jnp.asarray(sample, jnp.float32),
-                                        m, lam, tables, divisions, seed,
-                                        omega_divisor)
+    """Data-adaptive bank (reference Coding.buildFromSample:184-241).
+
+    ``alpha`` is computed OUTSIDE the jitted stats function so a checkpoint
+    rebuild (``bank_from_stats``) reproduces it bitwise — fusion inside jit
+    can differ by 1 ULP from the op-by-op path.
+    """
+    g = tables * divisions
+    d = np.shape(sample)[-1]
+    alpha = _alpha_from_seed(seed, g, m, d)
+    r_unit = _r_unit_from_seed(seed, g, m)
+    r, omega = _omega_from_sample(jnp.asarray(sample, jnp.float32), alpha,
+                                  r_unit, omega_divisor)
     return GBank(alpha, r, omega, m, lam, tables, divisions, seed)
 
 

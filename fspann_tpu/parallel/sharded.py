@@ -1,0 +1,147 @@
+"""Corpus-sharded index over a device mesh (SURVEY.md §7 step 7).
+
+The reference is a single JVM; its only scale-out analogue is N independent
+RocksDB shards (``common/ShardedMetadataManager.java``).  The TPU-native
+scale-out shards the *corpus* (rows of the ``[G, N]`` routing arrays) across
+a ``jax.sharding.Mesh``:
+
+* each device builds partitions over its own shard (sorts are local — no
+  cross-chip sort needed because partition blocks never span shards),
+* queries are replicated; each device routes + refines against its local
+  shard and produces a local top-K,
+* one ``all_gather`` over the mesh axis (ICI) + a replicated merge yields the
+  global top-K.  Collective payload is ``ndev * Q * K`` ids+distances — tiny
+  next to the sharded HBM state.
+
+This module implements the *plaintext/trusted-refine* serving mode (vectors
+resident in device HBM next to their routing shard).  The encrypted mode
+keeps refine on the host exactly as in the single-chip path, with per-shard
+ciphertext arenas (the host side is shard-agnostic: candidate ids are global).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import coding, partition, routing
+from ..ops.partition import PartitionTable
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+class ShardedIndex:
+    """Plaintext corpus sharded over a mesh with per-shard partition tables."""
+
+    def __init__(self, mesh: Mesh, bank: coding.GBank, block_size: int = 64):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.bank = bank
+        self.block_size = block_size
+        self.n_devices = mesh.devices.size
+        self.table: PartitionTable | None = None
+        self.base: jax.Array | None = None
+        self.shard_rows = 0
+        self.n = 0
+
+    # -- build ------------------------------------------------------------------
+
+    def build(self, base: np.ndarray) -> None:
+        """Pad to the mesh size, encode + build per-shard partitions.
+
+        Sharding layout: every array's leading-N axis is split over the mesh
+        axis; group/partition axes stay local, so the build sort and all
+        query gathers are shard-local (no collectives until the final merge).
+        """
+        n = len(base)
+        nd = self.n_devices
+        rows = -(-n // nd)
+        pad = rows * nd - n
+        if pad:
+            # pad with copies of the last row; padded row ids are masked out
+            base = np.concatenate([base, np.repeat(base[-1:], pad, 0)])
+        self.n = n
+        self.shard_rows = rows
+        base = np.ascontiguousarray(base, np.float32)
+
+        shard = NamedSharding(self.mesh, P(self.axis))
+        base_dev = jax.device_put(base, shard)
+
+        bank = self.bank
+        block = self.block_size
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=P(self.axis), out_specs=P(self.axis))
+        def build_local(vecs):
+            codes, keys = coding.encode(vecs, bank)                  # local N
+            table = partition.build_partitions(
+                jnp.transpose(keys, (1, 0)),
+                jnp.transpose(codes, (1, 0, 2)), block)
+            # leading axis of each field must be the sharded one for
+            # out_specs; stack under a fresh leading axis per shard
+            return jax.tree.map(lambda x: x[None], table)
+
+        self.table = build_local(base_dev)     # fields: [ndev, G, P, ...]
+        self.base = base_dev
+
+    # -- query ------------------------------------------------------------------
+
+    def query_step_fn(self, probes: int, refinement_limit: int, k: int):
+        """Return the jittable sharded query step (route → local refine →
+        cross-chip top-k merge).  Suitable for jit over the mesh."""
+        bank = self.bank
+        axis = self.axis
+        rows = self.shard_rows
+        n = self.n
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(jax.tree.map(lambda _: P(axis), self.table),
+                           P(axis), P(None)),
+                 out_specs=(P(None), P(None)),
+                 check_vma=False)
+        def step(table_stacked, base_local, queries):
+            table = jax.tree.map(lambda x: x[0], table_stacked)
+            qcodes, qkeys = coding.encode(queries, bank)
+            local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
+            tomb = ~local_valid
+            routed = routing.route(table, qcodes, qkeys, tomb, probes,
+                                   refinement_limit)
+            cand = routed.ids                                    # local rows
+            safe = jnp.maximum(cand, 0)
+            cand_vecs = base_local[safe]                         # [Q, R, d]
+            diff = cand_vecs - queries[:, None, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            d2 = jnp.where(cand >= 0, d2, jnp.float32(3.4e38))
+            kk = min(k, cand.shape[-1])
+            neg, idx = jax.lax.top_k(-d2, kk)
+            local_ids = jnp.take_along_axis(cand, idx, axis=-1)
+            global_ids = jnp.where(
+                local_ids >= 0,
+                local_ids + jax.lax.axis_index(axis) * rows, -1)
+            # ---- cross-chip merge (ICI all_gather of tiny top-K blocks) ----
+            all_ids = jax.lax.all_gather(global_ids, axis, axis=1,
+                                         tiled=True)             # [Q, ndev*K]
+            all_d2 = jax.lax.all_gather(-neg, axis, axis=1, tiled=True)
+            mneg, midx = jax.lax.top_k(-all_d2, k)
+            out_ids = jnp.take_along_axis(all_ids, midx, axis=-1)
+            dist = jnp.sqrt(jnp.maximum(-mneg, 0.0))
+            dist = jnp.where(out_ids >= 0, dist, jnp.float32(jnp.inf))
+            return out_ids, dist
+
+        return step
+
+    def query(self, queries: np.ndarray, probes: int = 5,
+              refinement_limit: int = 2048, k: int = 10):
+        step = jax.jit(self.query_step_fn(probes, refinement_limit, k))
+        ids, dist = step(self.table, self.base,
+                         jnp.asarray(queries, jnp.float32))
+        return np.asarray(ids), np.asarray(dist)

@@ -32,6 +32,34 @@ from ..store.point_store import PointStore
 from ..types import QueryResult, QueryToken, SearchStats
 
 
+def _host_refine(qvecs: np.ndarray, cand_vecs: np.ndarray,
+                 cand_ids: np.ndarray, valid: np.ndarray, k: int):
+    """Stage C on the host: exact L2 + top-k via BLAS, same semantics as the
+    device refine kernel but no device transfer of candidate vectors."""
+    q, r, d = cand_vecs.shape
+    cv = cand_vecs.reshape(q * r, d)
+    dots = np.einsum("qrd,qd->qr", cand_vecs, qvecs, optimize=True)
+    c2 = np.einsum("ij,ij->i", cv, cv).reshape(q, r)
+    q2 = np.einsum("ij,ij->i", qvecs, qvecs)
+    d2 = c2 - 2.0 * dots + q2[:, None]
+    d2 = np.where(valid, np.maximum(d2, 0.0), np.inf)
+    kk = min(k, r)
+    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    part_d = np.take_along_axis(d2, part, axis=1)
+    order = np.argsort(part_d, axis=1, kind="stable")
+    idx = np.take_along_axis(part, order, axis=1)
+    dsel = np.take_along_axis(d2, idx, axis=1)
+    ok = np.isfinite(dsel)
+    ids = np.where(ok, np.take_along_axis(cand_ids, idx, axis=1), -1)
+    dists = np.where(ok, np.sqrt(np.where(ok, dsel, 0.0)), np.inf)
+    n_scored = valid.sum(axis=1).astype(np.int32)
+    if kk < k:
+        ids = np.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+        dists = np.pad(dists, ((0, 0), (0, k - kk)),
+                       constant_values=np.inf)
+    return ids.astype(np.int64), dists.astype(np.float32), n_scored
+
+
 @dataclass
 class BatchSearchResult:
     ids: np.ndarray          # int64 [Q, K], -1 pad
@@ -135,12 +163,17 @@ class QueryService:
         valid = ok_flat.reshape(q, r)
         t2 = time.perf_counter()
 
-        res = refine_ops.refine(jnp.asarray(qvecs), jnp.asarray(cand_vecs),
-                                jnp.asarray(cand_ids, jnp.int32),
-                                jnp.asarray(valid), k)
-        ids = np.array(res.ids, np.int64)        # copy: retry pass mutates
-        dists = np.array(res.distances, np.float32)
-        n_scored = np.asarray(res.n_scored)
+        if self.cfg.runtime.refine_backend == "device":
+            res = refine_ops.refine(jnp.asarray(qvecs),
+                                    jnp.asarray(cand_vecs),
+                                    jnp.asarray(cand_ids, jnp.int32),
+                                    jnp.asarray(valid), k)
+            ids = np.array(res.ids, np.int64)    # copy: retry pass mutates
+            dists = np.array(res.distances, np.float32)
+            n_scored = np.asarray(res.n_scored)
+        else:
+            ids, dists, n_scored = _host_refine(qvecs, cand_vecs, cand_ids,
+                                                valid, k)
         t3 = time.perf_counter()
 
         stats = []

@@ -4,10 +4,18 @@ Functional counterpart of the reference's RocksDB metadata manager
 (``common/RocksDBMetadataManager.java``): per-id records {key_version, dim,
 arena offset}, tombstones (:203-309), saved index version (:577-594), drift
 audit (:649-689), count-by-version (:695-703) — as an append-only log with
-CRC-framed records, replayed into an in-memory table on open, compacted on
-demand.  Write protocol (crash consistency): arena append+fsync first, then
-metadata append+fsync — a metadata record is the commit; recovery replays
-until the first corrupt/truncated record and ignores arena tails.
+CRC-framed records, replayed into numpy arrays on open, compacted on demand.
+
+The in-memory table is three dense arrays indexed by point id (ids are
+ordinals in every real corpus — the reference relies on the same ID==index
+invariant, ForwardSecureANNSystem.java:515-519): ``key_version`` int32,
+``arena_off`` int64, ``dim`` int32, with ``key_version == 0`` meaning absent
+and negative meaning tombstoned.  Candidate metadata resolution in the query
+hot path is then one vectorized gather instead of n dict lookups.
+
+Write protocol (crash consistency): arena append+fsync first, then metadata
+append+fsync — a metadata record is the commit; recovery replays until the
+first corrupt/truncated record and ignores arena tails.
 """
 
 from __future__ import annotations
@@ -17,8 +25,11 @@ import struct
 import zlib
 from dataclasses import dataclass
 
+import numpy as np
+
 _MAGIC = b"FSPML1\n"
 _REC = struct.Struct("<BIIIqI")  # kind, id, key_version, dim, arena_off, crc
+_BODY = struct.Struct("<BIIIq")
 _KIND_PUT = 1
 _KIND_TOMBSTONE = 2
 _KIND_INDEX_VERSION = 3   # id field carries the version
@@ -34,11 +45,15 @@ class PointMeta:
 
 
 class MetadataLog:
-    def __init__(self, path: str):
+    def __init__(self, path: str, capacity: int = 1024):
         self.path = path
-        self.table: dict[int, PointMeta] = {}
         self.index_version: int = 0
         self._version_counts: dict[int, int] = {}
+        self._cap = capacity
+        # key_version: 0 = absent, >0 = live, <0 = tombstoned (-kv)
+        self._kv = np.zeros(capacity, np.int32)
+        self._off = np.full(capacity, -1, np.int64)
+        self._dim = np.zeros(capacity, np.int32)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         fresh = not os.path.exists(path)
         if not fresh:
@@ -48,40 +63,86 @@ class MetadataLog:
             self._f.write(_MAGIC)
             self._f.flush()
 
-    # -- write ----------------------------------------------------------------
+    # -- capacity ---------------------------------------------------------------
+
+    def _grow(self, min_id: int) -> None:
+        if min_id < self._cap:
+            return
+        new_cap = max(self._cap * 2, min_id + 1)
+        for name in ("_kv", "_off", "_dim"):
+            old = getattr(self, name)
+            new = np.zeros(new_cap, old.dtype) if name != "_off" else \
+                np.full(new_cap, -1, np.int64)
+            new[:self._cap] = old
+            setattr(self, name, new)
+        self._cap = new_cap
+
+    # -- write ------------------------------------------------------------------
 
     def _append(self, kind: int, pid: int, kv: int, dim: int, off: int) -> None:
-        body = struct.pack("<BIIIq", kind, pid, kv, dim, off)
-        crc = zlib.crc32(body)
-        self._f.write(body + struct.pack("<I", crc))
+        body = _BODY.pack(kind, pid, kv, dim, off)
+        self._f.write(body + struct.pack("<I", zlib.crc32(body)))
+
+    def _apply_put(self, pid: int, kv: int, dim: int, off: int) -> None:
+        self._grow(pid)
+        prev = self._kv[pid]
+        if prev > 0:
+            self._bump(int(prev), -1)
+        self._kv[pid] = kv
+        self._off[pid] = off
+        self._dim[pid] = dim
+        self._bump(kv, +1)
 
     def put(self, pid: int, key_version: int, dim: int, arena_off: int) -> None:
         self._append(_KIND_PUT, pid, key_version, dim, arena_off)
-        prev = self.table.get(pid)
-        if prev is not None and not prev.deleted:
-            self._bump(prev.key_version, -1)
-        self.table[pid] = PointMeta(key_version, dim, arena_off)
-        self._bump(key_version, +1)
+        self._apply_put(pid, key_version, dim, arena_off)
 
     def put_batch(self, pids, key_version: int, dim: int, offsets) -> None:
-        for pid, off in zip(pids, offsets):
-            self.put(int(pid), key_version, dim, int(off))
+        """Vectorized batch put: one log write, array scatter."""
+        pids = np.asarray(pids, np.int64)
+        offsets = np.asarray(offsets, np.int64)
+        n = len(pids)
+        if n == 0:
+            return
+        # log records via numpy assembly (+ per-row crc32)
+        rec = np.zeros((n, _REC.size), np.uint8)
+        rec[:, 0] = _KIND_PUT
+        rec[:, 1:5] = pids.astype("<u4").view(np.uint8).reshape(n, 4)
+        rec[:, 5:9] = np.frombuffer(np.uint32(key_version).tobytes(), np.uint8)
+        rec[:, 9:13] = np.frombuffer(np.uint32(dim).tobytes(), np.uint8)
+        rec[:, 13:21] = offsets.astype("<i8").view(np.uint8).reshape(n, 8)
+        rows = rec[:, :_BODY.size].tobytes()
+        crcs = np.empty(n, "<u4")
+        step = _BODY.size
+        for i in range(n):
+            crcs[i] = zlib.crc32(rows[i * step:(i + 1) * step])
+        rec[:, -4:] = crcs.view(np.uint8).reshape(n, 4)
+        self._f.write(rec.tobytes())
+        # array application
+        self._grow(int(pids.max()))
+        prev = self._kv[pids]
+        for v, c in zip(*np.unique(prev[prev > 0], return_counts=True)):
+            self._bump(int(v), -int(c))
+        self._kv[pids] = key_version
+        self._off[pids] = offsets
+        self._dim[pids] = dim
+        self._bump(key_version, n)
 
     def tombstone(self, pid: int) -> None:
-        m = self.table.get(pid)
-        if m is None or m.deleted:
+        pid = int(pid)
+        if pid >= self._cap or self._kv[pid] <= 0:
             return
         self._append(_KIND_TOMBSTONE, pid, 0, 0, 0)
-        m.deleted = True
-        self._bump(m.key_version, -1)
+        self._bump(int(self._kv[pid]), -1)
+        self._kv[pid] = -self._kv[pid]
 
     def undelete(self, pid: int) -> None:
-        m = self.table.get(pid)
-        if m is None or not m.deleted:
+        pid = int(pid)
+        if pid >= self._cap or self._kv[pid] >= 0:
             return
         self._append(_KIND_UNDELETE, pid, 0, 0, 0)
-        m.deleted = False
-        self._bump(m.key_version, +1)
+        self._kv[pid] = -self._kv[pid]
+        self._bump(int(self._kv[pid]), +1)
 
     def save_index_version(self, version: int) -> None:
         self._append(_KIND_INDEX_VERSION, version, 0, 0, 0)
@@ -91,15 +152,30 @@ class MetadataLog:
         self._f.flush()
         os.fsync(self._f.fileno())
 
-    # -- read ----------------------------------------------------------------
+    # -- read -------------------------------------------------------------------
 
     def get(self, pid: int) -> PointMeta | None:
-        m = self.table.get(pid)
-        return None if m is None or m.deleted else m
+        pid = int(pid)
+        if pid < 0 or pid >= self._cap or self._kv[pid] <= 0:
+            return None
+        return PointMeta(int(self._kv[pid]), int(self._dim[pid]),
+                         int(self._off[pid]))
 
     def is_deleted(self, pid: int) -> bool:
-        m = self.table.get(pid)
-        return m is not None and m.deleted
+        pid = int(pid)
+        return 0 <= pid < self._cap and self._kv[pid] < 0
+
+    def lookup_batch(self, pids: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized: (key_version int32 [n] with 0 = absent/tombstoned,
+        arena_off int64 [n]).  The query hot path."""
+        pids = np.asarray(pids, np.int64)
+        inb = (pids >= 0) & (pids < self._cap)
+        safe = np.where(inb, pids, 0)
+        kv = np.where(inb, self._kv[safe], 0)
+        kv = np.maximum(kv, 0)   # tombstoned -> 0
+        off = np.where(kv > 0, self._off[safe], -1)
+        return kv.astype(np.int32), off
 
     def count_with_version(self, kv: int) -> int:
         """Live points still bound to key version kv (reference :695-703)."""
@@ -108,16 +184,20 @@ class MetadataLog:
     def live_versions(self) -> set[int]:
         return {kv for kv, c in self._version_counts.items() if c > 0}
 
-    def live_ids(self):
-        return (pid for pid, m in self.table.items() if not m.deleted)
+    def live_ids(self) -> np.ndarray:
+        return np.flatnonzero(self._kv > 0)
+
+    def stale_ids(self, current_version: int) -> np.ndarray:
+        """Live ids bound to a version below current (background migration)."""
+        return np.flatnonzero((self._kv > 0) & (self._kv < current_version))
 
     def __len__(self) -> int:
-        return sum(1 for _ in self.live_ids())
+        return int((self._kv > 0).sum())
 
     def _bump(self, kv: int, delta: int) -> None:
         self._version_counts[kv] = self._version_counts.get(kv, 0) + delta
 
-    # -- recovery / maintenance ------------------------------------------------
+    # -- recovery / maintenance ----------------------------------------------------
 
     def _replay(self) -> None:
         raw = open(self.path, "rb").read()
@@ -130,21 +210,15 @@ class MetadataLog:
             if zlib.crc32(raw[off:off + step - 4]) != crc:
                 break  # crash tail — ignore the rest
             if kind == _KIND_PUT:
-                prev = self.table.get(pid)
-                if prev is not None and not prev.deleted:
-                    self._bump(prev.key_version, -1)
-                self.table[pid] = PointMeta(kv, dim, aoff)
-                self._bump(kv, +1)
+                self._apply_put(pid, kv, dim, aoff)
             elif kind == _KIND_TOMBSTONE:
-                m = self.table.get(pid)
-                if m is not None and not m.deleted:
-                    m.deleted = True
-                    self._bump(m.key_version, -1)
+                if pid < self._cap and self._kv[pid] > 0:
+                    self._bump(int(self._kv[pid]), -1)
+                    self._kv[pid] = -self._kv[pid]
             elif kind == _KIND_UNDELETE:
-                m = self.table.get(pid)
-                if m is not None and m.deleted:
-                    m.deleted = False
-                    self._bump(m.key_version, +1)
+                if pid < self._cap and self._kv[pid] < 0:
+                    self._kv[pid] = -self._kv[pid]
+                    self._bump(int(self._kv[pid]), +1)
             elif kind == _KIND_INDEX_VERSION:
                 self.index_version = pid
             off += step
@@ -154,15 +228,19 @@ class MetadataLog:
         tmp = self.path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(_MAGIC)
+
             def emit(kind, pid, kv, dim, aoff):
-                body = struct.pack("<BIIIq", kind, pid, kv, dim, aoff)
+                body = _BODY.pack(kind, pid, kv, dim, aoff)
                 f.write(body + struct.pack("<I", zlib.crc32(body)))
+
             if self.index_version:
                 emit(_KIND_INDEX_VERSION, self.index_version, 0, 0, 0)
-            for pid, m in self.table.items():
-                emit(_KIND_PUT, pid, m.key_version, m.dim, m.arena_off)
-                if m.deleted:
-                    emit(_KIND_TOMBSTONE, pid, 0, 0, 0)
+            for pid in np.flatnonzero(self._kv != 0):
+                kv = int(self._kv[pid])
+                emit(_KIND_PUT, int(pid), abs(kv), int(self._dim[pid]),
+                     int(self._off[pid]))
+                if kv < 0:
+                    emit(_KIND_TOMBSTONE, int(pid), 0, 0, 0)
             f.flush()
             os.fsync(f.fileno())
         self._f.close()

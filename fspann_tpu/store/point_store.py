@@ -24,7 +24,7 @@ import numpy as np
 
 from ..crypto import aesgcm
 from ..crypto.keys import KeyManager
-from ..types import aad_for
+from ..types import aad_batch, aad_for
 from .arena import ArenaReader, ArenaWriter, secure_delete_arena
 from .metadata import MetadataLog
 
@@ -111,17 +111,14 @@ class PointStore:
         offs = np.arange(n, dtype=np.uint64) * (4 * self.dim)
         ivs = np.frombuffer(secrets.token_bytes(12 * n), np.uint8
                             ).reshape(n, 12).copy()
-        aads = [aad_for(int(i), kv, self.dim) for i in ids]
+        aads = aad_batch(ids, kv, self.dim)
         ct, tags = aesgcm.seal_batch(self.km.gcm_for(kv), ivs, aads, pt, offs,
                                      lens)
 
         w = self._writer(kv)
-        arena_offs = np.empty(n, np.int64)
         clen = 4 * self.dim
-        for i in range(n):
-            ct_tag = ct[i * clen:(i + 1) * clen].tobytes() + tags[i].tobytes()
-            arena_offs[i], _ = w.append(int(ids[i]), kv, self.dim,
-                                        ivs[i].tobytes(), ct_tag)
+        ct_tag = np.concatenate([ct.reshape(n, clen), tags], axis=1)
+        arena_offs = w.append_batch(ids, kv, self.dim, ivs, ct_tag)
         w.flush()
         self._dirty.add(kv)
         self.meta.put_batch(ids, kv, self.dim, arena_offs)
@@ -139,49 +136,39 @@ class PointStore:
         """Load + decrypt candidates.  ids int [n]; pad/missing/tombstoned
         entries yield ok=False.  Returns (vecs f32 [n, dim], ok bool [n]).
 
-        One GCM open_batch call for the whole set; per-record key versions
-        resolved from metadata (reference QueryServiceImpl.java:250-251 —
-        each point decrypts under its own recorded version).
-        """
-        ids = np.asarray(ids)
+        Fully vectorized: one metadata gather, one mmap gather per live key
+        version, ONE multi-key GCM open for the whole set (per-record key
+        versions — reference QueryServiceImpl.java:250-251)."""
+        ids = np.asarray(ids, np.int64)
         n = len(ids)
         vecs = np.zeros((n, self.dim), np.float32)
         ok = np.zeros(n, bool)
 
-        # Group live candidates by key version.
-        by_kv: dict[int, list[int]] = {}
-        metas = []
-        for i, pid in enumerate(ids):
-            pid = int(pid)
-            m = self.meta.get(pid) if pid >= 0 else None
-            metas.append(m)
-            if m is not None:
-                by_kv.setdefault(m.key_version, []).append(i)
-
-        if not by_kv:
+        kv_all, off_all = self.meta.lookup_batch(ids)
+        present = kv_all > 0
+        if not present.any():
             return vecs, ok
+        versions = np.unique(kv_all[present])
 
-        versions = sorted(by_kv)
-        keys = [self.km.gcm_for(kv) for kv in versions]
         clen = self.record_ct_len
         body = 4 * self.dim
-
-        order: list[int] = []
-        ivs_parts, ct_parts, key_idx_parts, aads = [], [], [], []
+        order_parts, ivs_parts, ct_parts, kidx_parts = [], [], [], []
+        keys = []
         for vi, kv in enumerate(versions):
-            idxs = by_kv[kv]
-            reader = self._reader(kv)
-            offs = np.array([metas[i].arena_off for i in idxs], np.int64)
-            ivs_v, ct_v = reader.gather(offs, clen)
+            sel = np.flatnonzero(kv_all == kv)
+            keys.append(self.km.gcm_for(int(kv)))
+            reader = self._reader(int(kv))
+            ivs_v, ct_v = reader.gather(off_all[sel], clen)
+            order_parts.append(sel)
             ivs_parts.append(ivs_v)
-            ct_parts.append(ct_v.reshape(len(idxs), clen))
-            key_idx_parts.append(np.full(len(idxs), vi, np.uint32))
-            aads.extend(aad_for(int(ids[i]), kv, self.dim) for i in idxs)
-            order.extend(idxs)
+            ct_parts.append(ct_v.reshape(len(sel), clen))
+            kidx_parts.append(np.full(len(sel), vi, np.uint32))
 
+        order = np.concatenate(order_parts)
         ivs = np.concatenate(ivs_parts)
         ct_tag = np.concatenate(ct_parts)          # [m, body+16]
-        key_idx = np.concatenate(key_idx_parts)
+        key_idx = np.concatenate(kidx_parts)
+        aads = aad_batch(ids[order], kv_all[order].astype(np.int64), self.dim)
         m_total = len(order)
         ct_flat = np.ascontiguousarray(ct_tag[:, :body]).reshape(-1)
         tags = np.ascontiguousarray(ct_tag[:, body:])
@@ -189,8 +176,7 @@ class PointStore:
         lens_flat = np.full(m_total, body, np.uint64)
         pt, ok_flags = aesgcm.open_batch(keys, key_idx, ivs, aads, ct_flat,
                                          offs_flat, lens_flat, tags)
-        ptv = np.frombuffer(pt.tobytes(), "<f4").reshape(m_total, self.dim)
-        order = np.array(order, np.int64)
+        ptv = pt.view("<f4").reshape(m_total, self.dim)
         vecs[order] = ptv
         ok[order] = ok_flags.astype(bool)
         return vecs, ok
@@ -209,26 +195,18 @@ class PointStore:
         t0 = time.perf_counter()
         kv_target = (self.km.current_version if target_version is None
                      else target_version)
-        ids = [int(i) for i in np.atleast_1d(np.asarray(ids))]
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
         before = self.size_bytes()
-        todo = []
-        skipped = 0
-        for pid in ids:
-            m = self.meta.get(pid)
-            if m is None:
-                continue
-            if m.key_version >= kv_target:
-                skipped += 1
-                continue
-            todo.append(pid)
+        kv_all, _ = self.meta.lookup_batch(ids)
+        todo = ids[(kv_all > 0) & (kv_all < kv_target)]
+        skipped = int((kv_all >= kv_target).sum())
         failed = 0
-        if todo:
-            arr = np.array(todo, np.int64)
-            vecs, ok = self.load_decrypt_batch(arr)
+        if len(todo):
+            vecs, ok = self.load_decrypt_batch(todo)
             good = np.flatnonzero(ok)
             failed = len(todo) - len(good)
             if len(good):
-                self.insert_batch(arr[good], vecs[good], kv_target)
+                self.insert_batch(todo[good], vecs[good], kv_target)
         after = self.size_bytes()
         return ReencryptReport(
             touched=len(ids), reencrypted=len(todo) - failed,
@@ -239,7 +217,7 @@ class PointStore:
     def reencrypt_all(self, target_version: int | None = None
                       ) -> ReencryptReport:
         """Full migration sweep (reference reEncryptAll:98-146)."""
-        return self.reencrypt_ids(list(self.meta.live_ids()), target_version)
+        return self.reencrypt_ids(self.meta.live_ids(), target_version)
 
     # -- maintenance --------------------------------------------------------------
 
@@ -258,7 +236,7 @@ class PointStore:
 
     def audit_drift(self) -> dict:
         """Set-diff metadata ids vs arena records (reference auditDrift:649-689)."""
-        meta_ids = set(self.meta.live_ids())
+        meta_ids = set(self.meta.live_ids().tolist())
         arena_ids = set()
         for name in os.listdir(self.points_dir):
             if not name.endswith(".arena"):
@@ -275,8 +253,7 @@ class PointStore:
     def restore_iter(self, batch: int = 4096):
         """Yield (ids int64 [b], vecs f32 [b, dim]) decrypting every live
         point — the index-rebuild path (reference restoreIndexFromDisk:926-948)."""
-        live = np.fromiter(self.meta.live_ids(), np.int64)
-        live.sort()
+        live = np.sort(self.meta.live_ids().astype(np.int64))
         for s in range(0, len(live), batch):
             chunk = live[s:s + batch]
             vecs, ok = self.load_decrypt_batch(chunk)

@@ -35,8 +35,36 @@ class EncryptedPoint:
         return aad_for(self.id, self.key_version, self.dimension)
 
 
+AAD_LEN = 32  # fixed-width — enables fully vectorized batch construction
+
+
 def aad_for(point_id: int, key_version: int, dimension: int) -> bytes:
-    return f"id:{point_id}|v:{key_version}|d:{dimension}".encode()
+    """Fixed-width AAD (32 bytes).  Same binding as the reference
+    (id | key version | dimension) with zero-padded decimal fields so a batch
+    of AADs is one numpy digit-matrix fill instead of n Python formats."""
+    return f"id:{point_id:010d}|v:{key_version:08d}|d:{dimension:05d}".encode()
+
+
+def aad_batch(point_ids: "np.ndarray", key_versions: "np.ndarray | int",
+              dimension: int) -> "np.ndarray":
+    """uint8 [n, 32] AAD matrix, rows identical to aad_for()."""
+    ids = np.asarray(point_ids, np.int64)
+    n = len(ids)
+    kvs = np.broadcast_to(np.asarray(key_versions, np.int64), (n,))
+    out = np.empty((n, AAD_LEN), np.uint8)
+
+    def digits(vals, start, width):
+        pow10 = 10 ** np.arange(width - 1, -1, -1, dtype=np.int64)
+        out[:, start:start + width] = \
+            (vals[:, None] // pow10) % 10 + ord("0")
+
+    out[:, 0:3] = np.frombuffer(b"id:", np.uint8)
+    digits(ids, 3, 10)
+    out[:, 13:16] = np.frombuffer(b"|v:", np.uint8)
+    digits(kvs, 16, 8)
+    out[:, 24:27] = np.frombuffer(b"|d:", np.uint8)
+    digits(np.full(n, dimension, np.int64), 27, 5)
+    return out
 
 
 @dataclass(frozen=True)

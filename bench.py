@@ -39,6 +39,15 @@ def main():
     from fspann_tpu.io import groundtruth
     import jax
 
+    # Persistent compile cache: the axon remote-compile round trip dominates
+    # cold builds; cached recompiles are near-free across runs.
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.join(os.path.dirname(__file__) or ".",
+                                            ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
     n_clusters = 1024
@@ -77,7 +86,12 @@ def main():
         qps = q / wall
         recall10 = agg.recall_at_k[10]
         ratio = agg.ratio_at_k.get(100, float("nan"))
+        rows = [r for r in sys_.profiler.rows if r.k == 10]
+        nq = max(len(rows), 1)
         log(f"queries: {agg.paper_line()}  wall {wall:.2f}s -> {qps:.1f} q/s")
+        log(f"stage means/query: route {sum(r.route_ms for r in rows)/nq:.1f}ms "
+            f"decrypt {sum(r.decrypt_ms for r in rows)/nq:.1f}ms "
+            f"refine {sum(r.refine_ms for r in rows)/nq:.1f}ms")
 
         baseline_qps = 1000.0 / 1429.8   # SIFT_P4_FAST ART
         print(json.dumps({

@@ -55,8 +55,48 @@ def _load() -> ctypes.CDLL:
                                               u64p, u64p, u8p, u64p, u64p,
                                               u8p, u8p, u8p]
         lib.fspann_gcm_open_batch.restype = ctypes.c_int
+        u32 = ctypes.c_uint32
+        lib.fspann_gcm_open_batch_rec.argtypes = [
+            vp, sz, u32p, sz, u8p, u64p, u32, u32, u32, ctypes.c_uint64,
+            u8p, u64p, u64p, u8p, u64p, u8p]
+        lib.fspann_gcm_open_batch_rec.restype = ctypes.c_int
         _LIB = lib
         return lib
+
+
+def pack_contexts(keys: list["GcmKey"]):
+    """Pack expanded key contexts for the multi-key batch entry points."""
+    lib = _load()
+    ctx_size = lib.fspann_gcm_ctx_size()
+    packed = ctypes.create_string_buffer(ctx_size * max(len(keys), 1))
+    for i, k in enumerate(keys):
+        ctypes.memmove(ctypes.byref(packed, i * ctx_size), k._ctx, ctx_size)
+    return ctypes.cast(packed, ctypes.c_void_p), ctx_size, packed
+
+
+def open_batch_records(keys: list["GcmKey"], key_idx: np.ndarray,
+                       base: np.ndarray, rec_off: np.ndarray,
+                       iv_rel: int, ct_rel: int, tag_rel: int, ct_len: int,
+                       aads: np.ndarray, pt_flat: np.ndarray,
+                       pt_off: np.ndarray) -> np.ndarray:
+    """Zero-copy record open: record i's IV/ct/tag are read in place at
+    ``base[rec_off[i] + {iv_rel, ct_rel, tag_rel}]`` (e.g. an mmap'd arena);
+    plaintext row i is scatter-written at ``pt_flat[pt_off[i]:...+ct_len]``.
+    Returns ok uint8 [n]."""
+    lib = _load()
+    n = len(rec_off)
+    ctx_ptr, ctx_size, _keep = pack_contexts(keys)
+    aad_buf, aad_off, aad_len = _flat_extents(aads)
+    ok = np.empty(n, np.uint8)
+    assert pt_flat.flags.c_contiguous
+    lib.fspann_gcm_open_batch_rec(
+        ctx_ptr, ctx_size,
+        key_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+        _u8(base), _u64(np.ascontiguousarray(rec_off, np.uint64)),
+        iv_rel, ct_rel, tag_rel, ct_len,
+        _u8(aad_buf), _u64(aad_off), _u64(aad_len),
+        _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok))
+    return ok
 
 
 def _u8(a: np.ndarray):

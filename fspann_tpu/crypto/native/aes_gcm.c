@@ -329,6 +329,37 @@ int fspann_gcm_open_batch(const void *ctxs, size_t ctx_stride,
     return failures;
 }
 
+/* Record-oriented open: decrypt n fixed-layout records IN PLACE out of one
+ * base buffer (e.g. an mmap'd arena) — record i's IV/ciphertext/tag live at
+ * base + rec_off[i] + {iv_rel, ct_rel, tag_rel}.  Plaintext row i lands at
+ * pt + pt_off[i] (scatter-write).  Removes every copy between storage, AES
+ * and the caller's output rows —
+ * on bandwidth-starved hosts the copies, not the AES, are the bottleneck. */
+int fspann_gcm_open_batch_rec(const void *ctxs, size_t ctx_stride,
+                              const uint32_t *key_idx, size_t n,
+                              const uint8_t *base, const uint64_t *rec_off,
+                              uint32_t iv_rel, uint32_t ct_rel,
+                              uint32_t tag_rel, uint64_t ct_len,
+                              const uint8_t *aad, const uint64_t *aad_off,
+                              const uint64_t *aad_len,
+                              uint8_t *pt, const uint64_t *pt_off,
+                              uint8_t *ok) {
+    int failures = 0;
+    for (size_t i = 0; i < n; i++) {
+        const uint8_t *rec = base + rec_off[i];
+        const void *c = (const uint8_t *)ctxs + ctx_stride * key_idx[i];
+        int rc = fspann_gcm_open(c, rec + iv_rel, aad + aad_off[i],
+                                 aad_len[i], rec + ct_rel, ct_len,
+                                 rec + tag_rel, pt + pt_off[i]);
+        ok[i] = (uint8_t)(rc == 0);
+        if (rc != 0) {
+            memset(pt + pt_off[i], 0, ct_len);
+            failures++;
+        }
+    }
+    return failures;
+}
+
 /* Fused re-encrypt: open under ctx_old, seal under ctx_new with fresh IVs;
  * one pass over the data for selective re-encryption sweeps. */
 int fspann_gcm_rekey_batch(const void *ctx_old_arr, size_t ctx_stride,

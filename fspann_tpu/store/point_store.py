@@ -150,35 +150,27 @@ class PointStore:
             return vecs, ok
         versions = np.unique(kv_all[present])
 
-        clen = self.record_ct_len
+        # Zero-copy decrypt: AES reads IV/ct/tag in place from each version's
+        # mmap'd arena and scatter-writes plaintext rows straight into the
+        # output matrix — no gather copies (this host is DRAM-bandwidth
+        # bound, so every avoided pass over the candidate set is ~linear
+        # speedup).
         body = 4 * self.dim
-        order_parts, ivs_parts, ct_parts, kidx_parts = [], [], [], []
-        keys = []
-        for vi, kv in enumerate(versions):
+        iv_rel = 20            # arena record: 20-byte header, then iv
+        ct_rel = 32
+        tag_rel = 32 + body
+        pt_flat = vecs.reshape(-1).view(np.uint8)
+        for kv in versions:
             sel = np.flatnonzero(kv_all == kv)
-            keys.append(self.km.gcm_for(int(kv)))
             reader = self._reader(int(kv))
-            ivs_v, ct_v = reader.gather(off_all[sel], clen)
-            order_parts.append(sel)
-            ivs_parts.append(ivs_v)
-            ct_parts.append(ct_v.reshape(len(sel), clen))
-            kidx_parts.append(np.full(len(sel), vi, np.uint32))
-
-        order = np.concatenate(order_parts)
-        ivs = np.concatenate(ivs_parts)
-        ct_tag = np.concatenate(ct_parts)          # [m, body+16]
-        key_idx = np.concatenate(kidx_parts)
-        aads = aad_batch(ids[order], kv_all[order].astype(np.int64), self.dim)
-        m_total = len(order)
-        ct_flat = np.ascontiguousarray(ct_tag[:, :body]).reshape(-1)
-        tags = np.ascontiguousarray(ct_tag[:, body:])
-        offs_flat = np.arange(m_total, dtype=np.uint64) * body
-        lens_flat = np.full(m_total, body, np.uint64)
-        pt, ok_flags = aesgcm.open_batch(keys, key_idx, ivs, aads, ct_flat,
-                                         offs_flat, lens_flat, tags)
-        ptv = pt.view("<f4").reshape(m_total, self.dim)
-        vecs[order] = ptv
-        ok[order] = ok_flags.astype(bool)
+            aads = aad_batch(ids[sel], int(kv), self.dim)
+            ok_v = aesgcm.open_batch_records(
+                [self.km.gcm_for(int(kv))],
+                np.zeros(len(sel), np.uint32),
+                reader._buf, off_all[sel].astype(np.uint64),
+                iv_rel, ct_rel, tag_rel, body,
+                aads, pt_flat, (sel * body).astype(np.uint64))
+            ok[sel] = ok_v.astype(bool)
         return vecs, ok
 
     def key_version_of(self, pid: int) -> int | None:

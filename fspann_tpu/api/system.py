@@ -30,9 +30,13 @@ from ..io.groundtruth import GroundtruthManager
 from ..query.aggregates import Aggregates, write_csvs
 from ..query.service import QueryService
 from ..query.token import QueryTokenFactory
+from ..query.diagnostics import QueryDiagnostics
 from ..store.point_store import PointStore
 from ..types import QueryToken
+from ..utils.cache import ExpiringCache
+from ..utils.metrics import MetricsRegistry
 from ..utils.profiler import Profiler, QueryRow
+from ..utils.storage_metrics import StorageMetrics
 
 
 class ForwardSecureANNSystem:
@@ -59,6 +63,13 @@ class ForwardSecureANNSystem:
         self.query_service = QueryService(self.index, self.store, self.km,
                                           cfg, self.tracker)
         self.profiler = Profiler()
+        self.metrics = MetricsRegistry()
+        self.diagnostics = QueryDiagnostics()
+        self.storage_metrics = StorageMetrics(base_dir)
+        # expiring single-query result cache keyed by query bytes
+        # (reference StringKeyedCache, ForwardSecureANNSystem.java:1103-1151)
+        self.query_cache = ExpiringCache(capacity=2048, ttl_s=60.0)
+        self._cache_gen = 0   # bumped on any mutation that can change results
         self.background = None
         if cfg.reencryption.background_enabled:
             self.background = BackgroundReencryption(
@@ -103,6 +114,7 @@ class ForwardSecureANNSystem:
     def delete(self, ids) -> None:
         self.store.delete(ids)
         self.index.mark_deleted(ids)
+        self._cache_gen += 1
 
     # -- QUERY ---------------------------------------------------------------
 
@@ -112,7 +124,17 @@ class ForwardSecureANNSystem:
     def search(self, token: QueryToken):
         if self.background:
             self.background.note_query()
-        return self.query_service.search(token)
+        cache_key = (self._cache_gen, bytes(token.codes.tobytes()),
+                     token.top_k)
+        hit = self.query_cache.get(cache_key)
+        if hit is not None:
+            self.metrics.count("query.cache_hits")
+            return hit
+        with self.metrics.timer("query.search_ms"):
+            out = self.query_service.search(token)
+        self.query_cache.put(cache_key, out)
+        self.metrics.count("query.searches")
+        return out
 
     def run_queries(self, queries: np.ndarray,
                     gtm: GroundtruthManager | None = None,
@@ -139,6 +161,16 @@ class ForwardSecureANNSystem:
                 st = res.stats[j]
                 ret_ids = res.ids[j]
                 ret_dist = res.distances[j]
+                if gtm is not None:
+                    k10 = min(10, max_k)
+                    got10 = ret_ids[:k10]
+                    gt10 = gtm.get(qi, k10)
+                    r10 = len(set(got10[got10 >= 0].tolist())
+                              & set(gt10.tolist())) / k10
+                    self.diagnostics.record(qi, r10, got10, ret_dist[:k10],
+                                            gt10)
+                self.metrics.record("query.server_ms", st.server_ns / 1e6)
+                self.metrics.record("query.decrypt_ms", st.decrypt_ns / 1e6)
                 for k in ks:
                     recall, ratio, cand_ratio = self._metrics_at_k(
                         qi, ret_ids, ret_dist, k, gtm, base, queries, st,
@@ -240,6 +272,10 @@ class ForwardSecureANNSystem:
                       "w") as f:
                 f.write(",".join(reenc.keys()) + "\n")
                 f.write(",".join(str(v) for v in reenc.values()) + "\n")
+        self.diagnostics.export_csv(
+            os.path.join(results_dir, "query_diagnostics.csv"))
+        with open(os.path.join(results_dir, "metrics.txt"), "w") as f:
+            f.write(self.metrics.export_text())
         cfg_sha = self.cfg.source_sha256 or hashlib.sha256(
             json.dumps(str(self.cfg)).encode()).hexdigest()
         with open(os.path.join(results_dir, "metrics_summary.txt"), "w") as f:

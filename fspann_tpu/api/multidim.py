@@ -1,0 +1,83 @@
+"""Multi-dimension system: one facade per vector dimensionality, shared keys.
+
+Reference counterpart: the reference facade keeps per-dimension token
+factories and index states in one object
+(``ForwardSecureANNSystem.java:360-375``, ``DimensionState[]`` keyed by dim).
+Here each dimension gets its own sub-system (store + index + query service)
+under one keystore and one rotation policy, so key rotation is global while
+routing/storage stay per-dim — the same observable behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..crypto.keys import KeyManager
+from .system import ForwardSecureANNSystem
+
+
+class MultiDimSystem:
+    def __init__(self, cfg: SystemConfig, base_dir: str,
+                 query_batch: int = 64):
+        self.cfg = cfg
+        self.base_dir = base_dir
+        self.query_batch = query_batch
+        os.makedirs(base_dir, exist_ok=True)
+        # shared keystore for every dimension
+        self.km = KeyManager(os.path.join(base_dir, "keystore.blob"),
+                             retention_max=cfg.keys.retention_max)
+        self._systems: dict[int, ForwardSecureANNSystem] = {}
+
+    def system_for(self, dim: int) -> ForwardSecureANNSystem:
+        sys_ = self._systems.get(dim)
+        if sys_ is None:
+            sub = os.path.join(self.base_dir, f"d{dim}")
+            sys_ = ForwardSecureANNSystem(self.cfg, sub, dim,
+                                          self.query_batch)
+            # swap in the shared keystore
+            sys_.km = self.km
+            sys_.store.km = self.km
+            sys_.rotation.km = self.km
+            sys_.tokens.km = self.km
+            sys_.query_service.km = self.km
+            self._systems[dim] = sys_
+        return sys_
+
+    @property
+    def dims(self) -> list[int]:
+        return sorted(self._systems)
+
+    def batch_insert(self, ids, vecs) -> None:
+        vecs = np.asarray(vecs, np.float32)
+        self.system_for(vecs.shape[1]).batch_insert(ids, vecs)
+
+    def finalize_for_search(self) -> None:
+        for sys_ in self._systems.values():
+            sys_.finalize_for_search()
+
+    def create_token(self, query, top_k: int):
+        query = np.asarray(query, np.float32)
+        return self.system_for(query.shape[-1]).create_token(query, top_k)
+
+    def search(self, token):
+        return self.system_for(token.dimension).search(token)
+
+    def run_selective_reencryption(self) -> dict:
+        """Global rotation, per-dim migration of each dim's touched set."""
+        old = self.km.current_version
+        self.km.rotate()
+        out = {"old_version": old, "new_version": self.km.current_version,
+               "per_dim": {}}
+        for dim, sys_ in self._systems.items():
+            touched = sys_.tracker.drain()
+            row = sys_.reenc_coordinator.run_once_with_version(
+                self.km.current_version, touched)
+            out["per_dim"][dim] = row
+        return out
+
+    def shutdown(self) -> None:
+        for sys_ in self._systems.values():
+            sys_.shutdown()

@@ -22,8 +22,10 @@ import numpy as np
 
 from ..config import SystemConfig, load_config
 from ..crypto.keys import KeyManager
+from ..crypto.coordinator import SelectiveReencCoordinator
 from ..crypto.rotation import (BackgroundReencryption, KeyRotationService,
                                ReencryptionTracker, RotationPolicy)
+from ..store.write_buffer import BufferedInserter
 from ..index.service import PartitionedIndex
 from ..io import loaders
 from ..io.groundtruth import GroundtruthManager
@@ -70,6 +72,10 @@ class ForwardSecureANNSystem:
         # (reference StringKeyedCache, ForwardSecureANNSystem.java:1103-1151)
         self.query_cache = ExpiringCache(capacity=2048, ttl_s=60.0)
         self._cache_gen = 0   # bumped on any mutation that can change results
+        self.reenc_coordinator = SelectiveReencCoordinator(
+            self.rotation, self.storage_metrics, self.metrics,
+            csv_path=os.path.join(base_dir, "reencrypt_metrics.csv"))
+        self.insert_buffer = BufferedInserter(self._sink_batch, dim)
         self.background = None
         if cfg.reencryption.background_enabled:
             self.background = BackgroundReencryption(
@@ -80,8 +86,12 @@ class ForwardSecureANNSystem:
     # -- INDEX ---------------------------------------------------------------
 
     def insert(self, point_id: int, vec: np.ndarray) -> None:
-        self.batch_insert(np.array([point_id]),
-                          np.asarray(vec, np.float32)[None, :])
+        """Single-point insert, buffered into store-sized batches
+        (EncryptedPointBuffer analogue; flushed by finalize/flush_all)."""
+        self.insert_buffer.add(point_id, vec)
+
+    def _sink_batch(self, ids, vecs) -> None:
+        self.batch_insert(ids, vecs)
 
     def batch_insert(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         """Encrypt+persist then stage for routing (reference batchInsert:479;
@@ -106,6 +116,7 @@ class ForwardSecureANNSystem:
         return total
 
     def finalize_for_search(self) -> None:
+        self.insert_buffer.flush()
         with self.profiler.timed("finalize"):
             self.index.finalize()
         self.store.meta.save_index_version(self.km.current_version)
@@ -223,19 +234,11 @@ class ForwardSecureANNSystem:
         old_version = self.km.current_version
         self.rotation.force_rotate_now()
         touched = self.tracker.drain()
-        report = self.rotation.reencrypt_touched(touched,
-                                                 self.km.current_version)
-        remaining = self.rotation.migration_remaining(old_version)
-        out = {
-            "old_version": old_version,
-            "new_version": self.km.current_version,
-            "touched": report.touched, "reencrypted": report.reencrypted,
-            "skipped_current": report.skipped_current,
-            "failed": report.failed, "time_ms": report.time_ms,
-            "bytes_delta": report.bytes_delta,
-            "bytes_after": report.bytes_after,
-            "migration_remaining": remaining,
-        }
+        row = self.reenc_coordinator.run_once_with_version(
+            self.km.current_version, touched)
+        out = dict(row)
+        out["old_version"] = old_version
+        out["new_version"] = self.km.current_version
         self._reenc_last = out
         return out
 
@@ -288,6 +291,8 @@ class ForwardSecureANNSystem:
             f.write(f"generated_at={time.strftime('%Y-%m-%dT%H:%M:%S')}\n")
 
     def flush_all(self) -> None:
+        if len(self.insert_buffer) and not self.index.frozen:
+            self.insert_buffer.flush()
         self.store.meta.save_index_version(self.km.current_version)
         self.store.flush()
         self.km.persist()

@@ -1,0 +1,44 @@
+"""Multi-dimension system test (reference DimensionState behavior)."""
+
+import numpy as np
+
+from fspann_tpu.api.multidim import MultiDimSystem
+from fspann_tpu.config import (EvalConfig, PaperConfig, RuntimeConfig,
+                               SystemConfig)
+
+
+def small_cfg():
+    return SystemConfig(
+        paper=PaperConfig(m=6, lam=2, divisions=2, tables=2, seed=5),
+        runtime=RuntimeConfig(refinement_limit=300, max_global_candidates=300,
+                              block_size=32),
+        eval=EvalConfig(k_variants=(1, 5)),
+    ).validate()
+
+
+def test_two_dims_share_keys(tmp_path, rng):
+    md = MultiDimSystem(small_cfg(), str(tmp_path / "db"))
+    try:
+        v8 = rng.normal(size=(1100, 8)).astype(np.float32)
+        v16 = rng.normal(size=(1100, 16)).astype(np.float32)
+        md.batch_insert(np.arange(1100), v8)
+        md.batch_insert(np.arange(1100), v16)
+        md.finalize_for_search()
+        assert md.dims == [8, 16]
+
+        t8 = md.create_token(v8[3], 1)
+        t16 = md.create_token(v16[5], 1)
+        assert md.search(t8)[0].id == 3
+        assert md.search(t16)[0].id == 5
+        # one shared keystore
+        assert md.system_for(8).km is md.system_for(16).km
+
+        rep = md.run_selective_reencryption()
+        assert rep["new_version"] == 2
+        assert set(rep["per_dim"]) == {8, 16}
+        assert rep["per_dim"][8]["reencrypted"] > 0
+        # both dims still query correctly post-rotation
+        assert md.search(md.create_token(v8[3], 1))[0].id == 3
+        assert md.search(md.create_token(v16[5], 1))[0].id == 5
+    finally:
+        md.shutdown()

@@ -57,12 +57,21 @@ class GroundtruthManager:
 
 
 def precompute(base: np.ndarray, queries: np.ndarray, k: int = 100,
-               chunk: int = 262_144) -> GroundtruthManager:
-    """Exact GT by chunked device brute force (the reference spends a thread
-    pool on this, GroundtruthPrecompute.java:249-268; one batched matmul +
-    top-k does it on the MXU)."""
-    ids, _dist = bruteforce_topk(base, np.asarray(queries, np.float32), k,
-                                 chunk)
+               chunk: int = 262_144,
+               backend: str = "xla") -> GroundtruthManager:
+    """Exact GT by device brute force (the reference spends a thread pool on
+    this, GroundtruthPrecompute.java:249-268; one batched matmul + top-k
+    does it on the MXU).
+
+    backend: "xla" (chunked matmul+top_k) or "pallas" (streaming fused
+    kernel, ops/pallas_scan.py — single base read, VMEM-resident top-k).
+    """
+    if backend == "pallas":
+        from ..ops.pallas_scan import streaming_topk
+        ids, _dist = streaming_topk(base, queries, k)
+    else:
+        ids, _dist = bruteforce_topk(base, np.asarray(queries, np.float32),
+                                     k, chunk)
     return GroundtruthManager(ids.astype(np.int64), base_size=len(base))
 
 

@@ -184,6 +184,20 @@ def keys_from_codes(codes: jax.Array) -> jax.Array:
     return w0 << 31
 
 
+def h1(x: jax.Array, bank: GBank) -> jax.Array:
+    """Collapse multi-projection H into one int32 hash per (vector, group)
+    via 31x+h mixing (reference Coding.H1:264-271) — a cheap bucketing hash
+    for diagnostics/sharding."""
+    h = project_h(x, bank)
+
+    def mix(acc, col):
+        return acc * jnp.int32(31) + col, None
+
+    acc, _ = jax.lax.scan(mix, jnp.zeros(h.shape[:-1], jnp.int32),
+                          jnp.moveaxis(h, -1, 0))
+    return acc
+
+
 @partial(jax.jit, static_argnames=())
 def encode(x: jax.Array, bank: GBank) -> tuple[jax.Array, jax.Array]:
     """Full coding pipeline: vectors → (packed codes, sort keys).

@@ -27,7 +27,27 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _device_preflight(timeout_s: int = 180) -> bool:
+    """Probe the TPU in a subprocess.  A killed TPU client can wedge the
+    axon device grant; a hung XLA call is uninterruptible in-process, so the
+    probe must be external.  Returns True when the device executes ops."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(int(jnp.ones(4).sum()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "4" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    platform = "tpu"
+    if not _device_preflight():
+        log("TPU preflight failed (device wedged?) — falling back to CPU")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        platform = "cpu-fallback"
     n = int(os.environ.get("BENCH_N", 1_000_000))
     d = int(os.environ.get("BENCH_D", 128))
     q = int(os.environ.get("BENCH_Q", 256))
@@ -38,6 +58,10 @@ def main():
     from fspann_tpu.config import SystemConfig
     from fspann_tpu.io import groundtruth
     import jax
+
+    if platform == "cpu-fallback":
+        # env alone is too late — sitecustomize already imported jax
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compile cache: the axon remote-compile round trip dominates
     # cold builds; cached recompiles are near-free across runs.
@@ -103,7 +127,7 @@ def main():
             "distance_ratio_at_100": round(ratio, 4),
             "art_ms": round(1000.0 * wall / q, 2),
             "build_s": round(t_build, 1),
-            "n": n, "d": d, "queries": q,
+            "n": n, "d": d, "queries": q, "platform": platform,
         }))
         sys_.shutdown()
     finally:

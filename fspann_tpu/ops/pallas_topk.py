@@ -1,0 +1,187 @@
+"""Pallas TPU kernel: streaming exact L2 top-k with an in-kernel bitonic
+selection network.
+
+Mosaic has no ``top_k``/``sort`` lowering, so the running top-K merge is a
+hand-built bitonic network out of primitives that DO lower: ``pltpu.roll``
+(circular lane shift), ``where``, comparisons, ``broadcasted_iota``.  The
+XOR-partner exchange of a bitonic stage is expressed as two rolls selected
+by the partner bit — lanes with bit ``j`` clear read ``i+j``, lanes with it
+set read ``i-j``.
+
+Per grid step (one base tile): MXU scores ``|b|^2 - 2 q·b`` → full bitonic
+sort of the tile's lanes (ties broken by index so duplicate distances keep
+distinct ids) → bitonic merge of (running top-K asc ++ reversed tile top-K)
+→ new running top-K, all in VMEM.  HBM traffic: one base read + one [Q, K]
+write — the bandwidth floor for an exact scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _partner(x: jax.Array, j: int) -> jax.Array:
+    """Values at lane ``i ^ j`` along the last axis (pltpu.roll requires a
+    non-negative shift, so the i+j read rolls by n-j)."""
+    n = x.shape[-1]
+    fwd = pltpu.roll(x, n - j, axis=x.ndim - 1)  # lane i reads i+j
+    bwd = pltpu.roll(x, j, axis=x.ndim - 1)      # lane i reads i-j
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where((lane & j) != 0, bwd, fwd)
+
+
+def _cex(v: jax.Array, ix: jax.Array, j: int, keep_min: jax.Array):
+    """One compare-exchange stage at XOR distance ``j`` with per-lane
+    direction; (value, index) keys with index tie-break."""
+    pv = _partner(v, j)
+    pi = _partner(ix, j)
+    lt = (v < pv) | ((v == pv) & (ix < pi))
+    choose_self = jnp.where(keep_min, lt, ~lt)
+    return (jnp.where(choose_self, v, pv),
+            jnp.where(choose_self, ix, pi))
+
+
+def _bitonic_sort(v: jax.Array, ix: jax.Array):
+    """Full ascending bitonic sort of the last axis (power-of-two length)."""
+    n = v.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            lower = (lane & j) == 0
+            up = (lane & k) == 0
+            v, ix = _cex(v, ix, j, lower == up)
+            j //= 2
+        k *= 2
+    return v, ix
+
+
+def _bitonic_merge(v: jax.Array, ix: jax.Array):
+    """Ascending merge of a bitonic sequence along the last axis."""
+    n = v.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    j = n // 2
+    while j >= 1:
+        v, ix = _cex(v, ix, j, (lane & j) == 0)
+        j //= 2
+    return v, ix
+
+
+def _topk_kernel(q_ref, base_ref, outd_ref, outi_ref, run_d, run_i, *,
+                 k: int, tile_n: int):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        run_d[:] = jnp.full_like(run_d, _BIG)
+        run_i[:] = jnp.full_like(run_i, jnp.iinfo(jnp.int32).max)
+
+    b = base_ref[:]                                   # [TN, d]
+    q = q_ref[:]                                      # [QT, d]
+    dots = jax.lax.dot_general(q, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    b2 = jnp.sum(b * b, axis=-1)[None, :]
+    scores = b2 - 2.0 * dots                          # [QT, TN]
+    idx = (step * tile_n
+           + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1))
+
+    sv, si = _bitonic_sort(scores, idx)               # ascending over TN
+    # concat(running asc, reverse(tile top-K asc)) is bitonic over 2K
+    topv = sv[:, :k]
+    topi = si[:, :k]
+    rev = jnp.flip(topv, axis=-1)
+    revi = jnp.flip(topi, axis=-1)
+    mv = jnp.concatenate([run_d[:], rev], axis=-1)    # [QT, 2K]
+    mi = jnp.concatenate([run_i[:], revi], axis=-1)
+    mv, mi = _bitonic_merge(mv, mi)
+    run_d[:] = mv[:, :k]
+    run_i[:] = mi[:, :k]
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        outd_ref[:] = run_d[:]
+        outi_ref[:] = run_i[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def _topk_call(queries, base, k: int, tile_n: int, interpret: bool):
+    qt, d = queries.shape
+    n = base.shape[0]
+    return pl.pallas_call(
+        partial(_topk_kernel, k=k, tile_n=tile_n),
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((qt, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qt, k), jnp.float32),
+            jax.ShapeDtypeStruct((qt, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qt, k), jnp.float32),
+            pltpu.VMEM((qt, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, base)
+
+
+def bitonic_topk(base, queries, k: int = 100, tile_n: int = 512,
+                 q_tile: int = 128, interpret: bool = False):
+    """Exact L2 top-k via the bitonic streaming kernel.
+
+    Returns (ids int32 [Q, K], dists f32 [Q, K] true L2).  K and the tile
+    are padded to powers of two/hardware lanes; padded rows never surface.
+    """
+    base = np.asarray(base, np.float32)
+    queries = np.asarray(queries, np.float32)
+    n, d = base.shape
+    nq = queries.shape[0]
+    k_eff = min(k, n)
+
+    k_pad = max(128, 1 << (k_eff - 1).bit_length())
+    tile_n = max(tile_n, 2 * k_pad)
+    tile_n = 1 << (tile_n - 1).bit_length()
+    d_pad = _round_up(d, 128)
+    n_pad = _round_up(n, tile_n)
+    q_pad = _round_up(min(q_tile, max(nq, 8)), 8)
+
+    bp = np.zeros((n_pad, d_pad), np.float32)
+    bp[:n, :d] = base
+    if n_pad > n:
+        bp[n:, 0] = 1.0e17
+    base_dev = jnp.asarray(bp)
+    out_ids = np.empty((nq, k_eff), np.int32)
+    out_d = np.empty((nq, k_eff), np.float32)
+
+    for s in range(0, nq, q_pad):
+        e = min(s + q_pad, nq)
+        qp = np.zeros((q_pad, d_pad), np.float32)
+        qp[:e - s, :d] = queries[s:e]
+        dist, ids = _topk_call(jnp.asarray(qp), base_dev, k_pad, tile_n,
+                               interpret)
+        dist = np.asarray(dist[:e - s, :k_eff])
+        ids = np.asarray(ids[:e - s, :k_eff])
+        q2 = np.einsum("ij,ij->i", queries[s:e], queries[s:e])
+        out_d[s:e] = np.sqrt(np.maximum(dist + q2[:, None], 0.0))
+        out_ids[s:e] = ids
+    return out_ids, out_d

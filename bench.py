@@ -27,11 +27,15 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _device_preflight(timeout_s: int = 180) -> bool:
-    """Probe the TPU in a subprocess.  A killed TPU client can wedge the
-    axon device grant; a hung XLA call is uninterruptible in-process, so the
-    probe must be external.  Returns True when the device executes ops."""
+def _device_preflight(timeout_s: int | None = None) -> bool:
+    """Probe the TPU in a subprocess.  A killed TPU client wedges the axon
+    device grant for a long lease timeout, and device claims shortly after a
+    previous session close can take minutes — so the probe must be PATIENT:
+    killing it mid-claim re-wedges the device (observed).  Returns True when
+    the device executes ops."""
     import subprocess
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_PREFLIGHT_S", 540))
     try:
         r = subprocess.run(
             [sys.executable, "-c",

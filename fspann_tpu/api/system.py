@@ -54,7 +54,8 @@ class ForwardSecureANNSystem:
 
         self.km = KeyManager(os.path.join(base_dir, "keystore.blob"),
                              retention_max=cfg.keys.retention_max)
-        self.store = PointStore(base_dir, self.km, dim)
+        self.store = PointStore(base_dir, self.km, dim,
+                                dtype=cfg.runtime.storage_dtype)
         self.rotation = KeyRotationService(
             self.km, self.store,
             RotationPolicy(cfg.keys.ops_threshold, cfg.keys.age_threshold_ms))
@@ -97,6 +98,7 @@ class ForwardSecureANNSystem:
         """Encrypt+persist then stage for routing (reference batchInsert:479;
         rotation check once per batch :531)."""
         self.rotation.rotate_if_needed()
+        vecs = self.store.quantize(vecs)
         with self.profiler.timed("insert"):
             self.store.insert_batch(ids, vecs)
             self.index.stage(ids, vecs)

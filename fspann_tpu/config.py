@@ -70,6 +70,10 @@ class RuntimeConfig:
     hamming_prefilter_threshold: int = 0  # 0 = disabled
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
+    # Ciphertext payload dtype: "f32" (exact) or "f16" (half the bytes —
+    # exact for integer-valued corpora like SIFT, ~1e-3 relative elsewhere;
+    # the decrypt+refine stages are DRAM-bandwidth bound, so this is ~2x).
+    storage_dtype: str = "f32"
     # Stage-C backend: "host" scores decrypted candidates with BLAS on the
     # host (no candidate upload — right when the TPU is behind a slow link
     # or the host is close to the arenas); "device" ships [Q,R,d] to the
@@ -185,6 +189,7 @@ _FIELD_ALIASES = {
     "backgroundEnabled": "background_enabled",
     "backgroundIntervalS": "background_interval_s",
     "backgroundBatch": "background_batch",
+    "storageDtype": "storage_dtype",
 }
 
 

@@ -45,10 +45,16 @@ class ReencryptReport:
 
 
 class PointStore:
-    def __init__(self, base_dir: str, key_manager: KeyManager, dim: int):
+    def __init__(self, base_dir: str, key_manager: KeyManager, dim: int,
+                 dtype: str = "f32"):
+        if dtype not in ("f32", "f16"):
+            raise ValueError(f"storage dtype must be f32|f16, got {dtype!r}")
         self.base_dir = base_dir
         self.km = key_manager
         self.dim = dim
+        self.dtype = dtype
+        self.itemsize = 4 if dtype == "f32" else 2
+        self.np_dtype = "<f4" if dtype == "f32" else "<f2"
         self.points_dir = os.path.join(base_dir, "points")
         os.makedirs(self.points_dir, exist_ok=True)
         self.meta = MetadataLog(os.path.join(base_dir, "meta.log"))
@@ -86,7 +92,14 @@ class PointStore:
 
     @property
     def record_ct_len(self) -> int:
-        return 4 * self.dim + TAG_LEN
+        return self.itemsize * self.dim + TAG_LEN
+
+    def quantize(self, vecs: np.ndarray) -> np.ndarray:
+        """Round-trip vectors through the storage dtype (so routing codes
+        computed at build time match what restore will decode)."""
+        if self.dtype == "f32":
+            return np.asarray(vecs, np.float32)
+        return np.asarray(vecs, np.float32).astype("<f2").astype(np.float32)
 
     # -- writes ----------------------------------------------------------------
 
@@ -106,9 +119,11 @@ class PointStore:
         if vecs.shape != (n, self.dim):
             raise ValueError(f"expected vecs [{n}, {self.dim}], got {vecs.shape}")
 
-        pt = np.frombuffer(vecs.astype("<f4").tobytes(), np.uint8).copy()
-        lens = np.full(n, 4 * self.dim, np.uint64)
-        offs = np.arange(n, dtype=np.uint64) * (4 * self.dim)
+        body = self.itemsize * self.dim
+        pt = np.frombuffer(vecs.astype(self.np_dtype).tobytes(),
+                           np.uint8).copy()
+        lens = np.full(n, body, np.uint64)
+        offs = np.arange(n, dtype=np.uint64) * body
         ivs = np.frombuffer(secrets.token_bytes(12 * n), np.uint8
                             ).reshape(n, 12).copy()
         aads = aad_batch(ids, kv, self.dim)
@@ -116,7 +131,7 @@ class PointStore:
                                      lens)
 
         w = self._writer(kv)
-        clen = 4 * self.dim
+        clen = body
         ct_tag = np.concatenate([ct.reshape(n, clen), tags], axis=1)
         arena_offs = w.append_batch(ids, kv, self.dim, ivs, ct_tag)
         w.flush()
@@ -155,11 +170,14 @@ class PointStore:
         # output matrix — no gather copies (this host is DRAM-bandwidth
         # bound, so every avoided pass over the candidate set is ~linear
         # speedup).
-        body = 4 * self.dim
+        body = self.itemsize * self.dim
         iv_rel = 20            # arena record: 20-byte header, then iv
         ct_rel = 32
         tag_rel = 32 + body
-        pt_flat = vecs.reshape(-1).view(np.uint8)
+        if self.dtype == "f32":
+            staging = vecs.reshape(-1).view(np.uint8)
+        else:
+            staging = np.zeros(n * body, np.uint8)
         for kv in versions:
             sel = np.flatnonzero(kv_all == kv)
             reader = self._reader(int(kv))
@@ -169,8 +187,11 @@ class PointStore:
                 np.zeros(len(sel), np.uint32),
                 reader._buf, off_all[sel].astype(np.uint64),
                 iv_rel, ct_rel, tag_rel, body,
-                aads, pt_flat, (sel * body).astype(np.uint64))
+                aads, staging, (sel * body).astype(np.uint64))
             ok[sel] = ok_v.astype(bool)
+        if self.dtype != "f32":
+            with np.errstate(all="ignore"):
+                vecs[:] = staging.view("<f2").reshape(n, self.dim)
         return vecs, ok
 
     def key_version_of(self, pid: int) -> int | None:

@@ -169,29 +169,30 @@ class ForwardSecureANNSystem:
                 res = self.query_service.search_batch(toks)
             if self.background:
                 self.background.note_query()
+            recalls, ratios = self._metrics_block(s, len(q_block), res.ids,
+                                                  res.distances, ks, gtm,
+                                                  base, queries)
             for j in range(len(q_block)):
                 qi = s + j
                 st = res.stats[j]
-                ret_ids = res.ids[j]
-                ret_dist = res.distances[j]
                 if gtm is not None:
                     k10 = min(10, max_k)
-                    got10 = ret_ids[:k10]
-                    gt10 = gtm.get(qi, k10)
-                    r10 = len(set(got10[got10 >= 0].tolist())
-                              & set(gt10.tolist())) / k10
-                    self.diagnostics.record(qi, r10, got10, ret_dist[:k10],
-                                            gt10)
+                    r10 = recalls.get(k10, recalls[min(recalls)])[j] \
+                        if recalls else 0.0
+                    self.diagnostics.record(qi, float(r10),
+                                            res.ids[j][:k10],
+                                            res.distances[j][:k10],
+                                            gtm.get(qi, k10))
                 self.metrics.record("query.server_ms", st.server_ns / 1e6)
                 self.metrics.record("query.decrypt_ms", st.decrypt_ns / 1e6)
                 for k in ks:
-                    recall, ratio, cand_ratio = self._metrics_at_k(
-                        qi, ret_ids, ret_dist, k, gtm, base, queries, st,
-                        n_base)
                     self.profiler.record_row(QueryRow(
-                        query_index=qi, k=k, recall_at_k=recall,
-                        distance_ratio_at_k=ratio,
-                        candidate_ratio_at_k=cand_ratio,
+                        query_index=qi, k=k,
+                        recall_at_k=float(recalls[k][j]) if recalls
+                        else float("nan"),
+                        distance_ratio_at_k=float(ratios[k][j]) if ratios
+                        else float("nan"),
+                        candidate_ratio_at_k=st.cand_refined / n_base,
                         cand_raw=st.cand_raw, cand_unique=st.cand_unique,
                         cand_refined=st.cand_refined,
                         cand_decrypted=st.cand_decrypted,
@@ -204,27 +205,38 @@ class ForwardSecureANNSystem:
                         probes=probes))
         return Aggregates.from_rows(self.profiler.rows)
 
-    def _metrics_at_k(self, qi, ret_ids, ret_dist, k, gtm, base, queries, st,
-                      n_base):
-        """Recall@K, distance-ratio@K, candidate-ratio@K (reference
-        computeMetricsAtK:770-835; QueryMetrics.java:7-21)."""
-        got = ret_ids[:k]
-        got = got[got >= 0]
-        cand_ratio = st.cand_refined / n_base
+    def _metrics_block(self, start, qb, ret_ids, ret_dist, ks, gtm, base,
+                       queries):
+        """Vectorized recall@K / distance-ratio@K for one query batch
+        (reference computeMetricsAtK:770-835; QueryMetrics.java:7-21).
+
+        recall@K = |returned@K ∩ gt@K| / K; ratio@K = mean over i<K of
+        max(d(q, ret_i)/d(q, gt_i), 1).
+        """
         if gtm is None:
-            return float("nan"), float("nan"), cand_ratio
-        gt = gtm.get(qi, k)
-        recall = len(set(got.tolist()) & set(gt.tolist())) / k
-        ratio = float("nan")
-        if base is not None and len(got):
-            q = queries[qi]
-            d_gt = np.linalg.norm(
-                np.asarray(base[gt], np.float32) - q, axis=1)
-            m = min(len(got), len(gt))
-            d_ret = ret_dist[:m]
-            denom = np.maximum(d_gt[:m], 1e-12)
-            ratio = float(np.mean(np.maximum(d_ret[:m] / denom, 1.0)))
-        return recall, ratio, cand_ratio
+            return {}, {}
+        max_k = max(ks)
+        gt = gtm.gt[start:start + qb, :max_k]             # [QB, maxK]
+        recalls: dict[int, np.ndarray] = {}
+        ratios: dict[int, np.ndarray] = {}
+        d_gt = None
+        if base is not None:
+            gvecs = np.asarray(base[gt.reshape(-1)], np.float32)
+            diffs = gvecs.reshape(qb, max_k, -1) - \
+                queries[start:start + qb][:, None, :]
+            d_gt = np.sqrt(np.einsum("qkd,qkd->qk", diffs, diffs))
+        for k in ks:
+            got = ret_ids[:, :k]                          # [QB, k]
+            # membership of each returned id in the query's gt@k set
+            hits = (got[:, :, None] == gt[:, None, :k]) & (got[:, :, None] >= 0)
+            recalls[k] = hits.any(axis=2).sum(axis=1) / k
+            if d_gt is not None:
+                denom = np.maximum(d_gt[:, :k], 1e-12)
+                r = np.maximum(ret_dist[:, :k] / denom, 1.0)
+                valid = (got >= 0) & np.isfinite(ret_dist[:, :k])
+                cnt = np.maximum(valid.sum(axis=1), 1)
+                ratios[k] = np.where(valid, r, 0.0).sum(axis=1) / cnt
+        return recalls, ratios
 
     # -- S-R.E (forward security) ----------------------------------------------
 

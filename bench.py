@@ -33,22 +33,36 @@ def _device_preflight(timeout_s: int | None = None) -> bool:
     previous session close can take minutes — so the probe must be PATIENT:
     killing it mid-claim re-wedges the device (observed).  Returns True when
     the device executes ops."""
+    import signal
     import subprocess
+    import tempfile
     if timeout_s is None:
         timeout_s = int(os.environ.get("BENCH_PREFLIGHT_S", 540))
-    try:
-        r = subprocess.run(
+    # NOTE: no capture_output — the axon runtime forks helpers that inherit
+    # the pipe and keep it open after the timeout kill, wedging communicate().
+    # Write to a file and kill the whole process group on timeout.
+    with tempfile.NamedTemporaryFile("w+") as out:
+        p = subprocess.Popen(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp; print(int(jnp.ones(4).sum()))"],
-            timeout=timeout_s, capture_output=True, text=True)
-        return r.returncode == 0 and "4" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+            stdout=out, stderr=subprocess.DEVNULL, start_new_session=True)
+        try:
+            rc = p.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            return False
+        out.seek(0)
+        return rc == 0 and "4" in out.read()
 
 
 def main():
     platform = "tpu"
-    if not _device_preflight():
+    if os.environ.get("BENCH_SKIP_PREFLIGHT"):
+        pass   # deliberate: wait for the device claim however long it takes
+    elif not _device_preflight():
         log("TPU preflight failed (device wedged?) — falling back to CPU")
         os.environ["JAX_PLATFORMS"] = "cpu"
         platform = "cpu-fallback"

@@ -100,9 +100,11 @@ class QueryService:
         rt = self.cfg.runtime
 
         qvecs = self._decrypt_queries(tokens)
+        touched_parts: list[np.ndarray] = []
         ids, dists, stats = self._run_pass(tokens, qvecs,
                                            rt.effective_probes(),
-                                           rt.refinement_limit, k)
+                                           rt.refinement_limit, k,
+                                           touched_parts)
 
         # Adaptive retry (once) for underfilled queries.
         need = [qi for qi, s in enumerate(stats) if self._need_retry(s, k)]
@@ -110,7 +112,8 @@ class QueryService:
             sub_tokens = [tokens[qi] for qi in need]
             sub_q = qvecs[need]
             rids, rdists, rstats = self._run_pass(
-                sub_tokens, sub_q, rt.retry_probes, rt.refinement_limit, k)
+                sub_tokens, sub_q, rt.retry_probes, rt.refinement_limit, k,
+                touched_parts)
             for j, qi in enumerate(need):
                 ids[qi], dists[qi] = rids[j], rdists[j]
                 rstats[j].retried = True
@@ -119,9 +122,12 @@ class QueryService:
         total = time.perf_counter() - t_start
         for s in stats:
             s.server_ns = int(total * 1e9 / len(tokens))
-        if self.tracker is not None:
-            touched = ids[ids >= 0]
-            self.tracker.record(touched.tolist())
+        if self.tracker is not None and touched_parts:
+            # every successfully DECRYPTED candidate is "touched" (reference
+            # QueryServiceImpl.java:263 adds each scored id, recorded in the
+            # finally block :342-351) — the selective re-encryption set, not
+            # merely the returned top-K
+            self.tracker.record(np.unique(np.concatenate(touched_parts)))
         self.last_stats = stats
         return BatchSearchResult(ids, dists, stats)
 
@@ -146,7 +152,8 @@ class QueryService:
         return s.returned < k or s.cand_decrypted < min(
             10 * k, self.cfg.runtime.refinement_limit)
 
-    def _run_pass(self, tokens, qvecs, probes, limit, k):
+    def _run_pass(self, tokens, qvecs, probes, limit, k,
+                  touched_parts: list | None = None):
         t0 = time.perf_counter()
         qc = jnp.asarray(np.stack([t.codes for t in tokens]))
         qk = jnp.asarray(np.stack([t.keys for t in tokens]))
@@ -161,6 +168,8 @@ class QueryService:
         vecs_flat, ok_flat = self.store.load_decrypt_batch(flat)
         cand_vecs = vecs_flat.reshape(q, r, self.index.dim)
         valid = ok_flat.reshape(q, r)
+        if touched_parts is not None:
+            touched_parts.append(flat[ok_flat])
         t2 = time.perf_counter()
 
         if self.cfg.runtime.refine_backend == "device":

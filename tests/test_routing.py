@@ -123,6 +123,33 @@ def test_route_respects_tombstones(rng):
     assert not (got & set(dead_ids))
 
 
+def test_route_probes_exceed_partitions(rng):
+    """max_probes > number of partitions: walk exhausts the line cleanly and
+    every live point is a candidate."""
+    base, bank, codes, keys, table = build_index(rng, n=60, block=16)
+    p = table.num_partitions
+    queries = rng.normal(size=(4, 24)).astype(np.float32) * 4
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    res = routing.route(table, qc, qk, jnp.zeros(60, bool),
+                        max_probes=p + 5, refinement_limit=100)
+    ids = np.asarray(res.ids)
+    for qi in range(4):
+        live = sorted(int(x) for x in ids[qi] if x >= 0)
+        assert live == list(range(60))
+
+
+def test_route_single_partition(rng):
+    """Corpus smaller than one block: one partition, probes clamp."""
+    base, bank, codes, keys, table = build_index(rng, n=10, block=16)
+    assert table.num_partitions == 1
+    queries = rng.normal(size=(2, 24)).astype(np.float32)
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    res = routing.route(table, qc, qk, jnp.zeros(10, bool), 5, 50)
+    ids = np.asarray(res.ids)
+    for qi in range(2):
+        assert sorted(int(x) for x in ids[qi] if x >= 0) == list(range(10))
+
+
 def test_route_dedupes_min_score(rng):
     base, bank, codes, keys, table = build_index(rng, n=300, block=16)
     queries = rng.normal(size=(8, 24)).astype(np.float32) * 4

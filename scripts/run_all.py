@@ -36,6 +36,9 @@ def run_profile(cfg, base, queries, out_dir, profile):
         system.finalize_for_search()
         build_s = time.time() - t0
         gtm = groundtruth.precompute(base, queries, k=cfg.eval.max_k)
+        # warmup batch: exclude jit compile from the measured sweep
+        system.run_queries(queries[:min(64, len(queries))], gtm, base)
+        system.profiler.rows.clear()
         t0 = time.time()
         agg = system.run_queries(queries, gtm, base)
         query_s = time.time() - t0

@@ -68,8 +68,9 @@ def main():
         platform = "cpu-fallback"
     n = int(os.environ.get("BENCH_N", 1_000_000))
     d = int(os.environ.get("BENCH_D", 128))
-    q = int(os.environ.get("BENCH_Q", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    q = int(os.environ.get("BENCH_Q", 512))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    dtype = os.environ.get("BENCH_DTYPE", "f16")  # exact for SIFT-like ints
     k = 10
 
     from fspann_tpu.api.system import ForwardSecureANNSystem
@@ -105,7 +106,12 @@ def main():
 
     work = tempfile.mkdtemp(prefix="fspann_bench_")
     try:
-        sys_ = ForwardSecureANNSystem(SystemConfig(), os.path.join(work, "db"),
+        import dataclasses
+        cfg = SystemConfig()
+        cfg = dataclasses.replace(
+            cfg, runtime=dataclasses.replace(cfg.runtime,
+                                             storage_dtype=dtype))
+        sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()
         sys_.index_stream(base, batch_size=100_000)
@@ -144,8 +150,11 @@ def main():
             "recall_at_10": round(recall10, 4),
             "distance_ratio_at_100": round(ratio, 4),
             "art_ms": round(1000.0 * wall / q, 2),
+            "p50_art_ms": round(agg.p50_art_ms, 2),
+            "p95_art_ms": round(agg.p95_art_ms, 2),
             "build_s": round(t_build, 1),
             "n": n, "d": d, "queries": q, "platform": platform,
+            "storage_dtype": dtype,
         }))
         sys_.shutdown()
     finally:

@@ -14,7 +14,20 @@ function of (seed, config, sample statistics) and never depends on key or
 cipher state, so key rotation/re-encryption never rebuilds the device index.
 """
 
+import os
+
 import jax
+
+# Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with a
+# different platform pinned (this image registers the axon TPU plugin at
+# interpreter start; env vars read later would otherwise be ignored).
+_env_platforms = os.environ.get("JAX_PLATFORMS")
+if _env_platforms and not (getattr(jax.config, "jax_platforms", None) or ""):
+    # an explicit earlier jax.config.update always wins over the env
+    try:
+        jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # noqa: BLE001 — never block import on platform quirks
+        pass
 
 # Routing keys are 63-bit sortable integers (reference:
 # index/paper/GreedyPartitioner.java:87-96).  We carry them as int64, which

@@ -21,6 +21,8 @@ STANDARD_KS = (1, 10, 20, 40, 60, 80, 100)
 class Aggregates:
     num_queries: int = 0
     mean_art_ms: float = 0.0
+    p50_art_ms: float = 0.0
+    p95_art_ms: float = 0.0
     recall_at_k: dict[int, float] = field(default_factory=dict)
     ratio_at_k: dict[int, float] = field(default_factory=dict)
     candidate_ratio_at_k: dict[int, float] = field(default_factory=dict)
@@ -49,6 +51,9 @@ class Aggregates:
         n = len(qrows)
         agg = cls(num_queries=n)
         agg.mean_art_ms = sum(r.server_ms for r in qrows) / n
+        lat = sorted(r.server_ms for r in qrows)
+        agg.p50_art_ms = lat[n // 2]
+        agg.p95_art_ms = lat[min(n - 1, int(0.95 * (n - 1)))]
         for k, rs in by_k.items():
             agg.recall_at_k[k] = sum(r.recall_at_k for r in rs) / len(rs)
             ratios = [r.distance_ratio_at_k for r in rs

@@ -109,10 +109,14 @@ def main(argv=None) -> int:
             print(f"selective re-encryption: {json.dumps(rep)}",
                   file=sys.stderr)
         system.export_artifacts(args.results)
+
+        def _num(x):
+            return None if x is None or x != x else round(float(x), 4)
+
         print(json.dumps({
-            "recall_at_10": agg.recall_at_k.get(10),
-            "ratio": agg.headline[0],
-            "art_ms": agg.mean_art_ms,
+            "recall_at_10": _num(agg.recall_at_k.get(10)),
+            "ratio": _num(agg.headline[0]),
+            "art_ms": _num(agg.mean_art_ms),
             "queries": agg.num_queries,
         }))
         return 0

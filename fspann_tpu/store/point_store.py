@@ -180,6 +180,10 @@ class PointStore:
             staging = np.zeros(n * body, np.uint8)
         for kv in versions:
             sel = np.flatnonzero(kv_all == kv)
+            # visit records in arena-offset order: sequential-ish reads
+            # prefetch far better than score-ordered random access (output
+            # positions are scatter-written, so ordering is free)
+            sel = sel[np.argsort(off_all[sel], kind="stable")]
             reader = self._reader(int(kv))
             aads = aad_batch(ids[sel], int(kv), self.dim)
             ok_v = aesgcm.open_batch_records(

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from fspann_tpu.crypto.keys import KeyManager
-from fspann_tpu.ops import coding, partition, refine, routing
+from fspann_tpu.ops import coding, refine, routing
 from fspann_tpu.parallel.sharded import ShardedIndex, make_mesh
 from fspann_tpu.store.sharded_store import ShardedPointStore
 

@@ -1,7 +1,6 @@
 """f16 ciphertext storage: roundtrip, restore determinism, E2E recall."""
 
 import numpy as np
-import pytest
 
 from fspann_tpu.api.system import ForwardSecureANNSystem
 from fspann_tpu.config import (EvalConfig, PaperConfig, RuntimeConfig,

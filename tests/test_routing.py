@@ -2,8 +2,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from fspann_tpu.ops import coding, partition, routing
-from oracles import (oracle_code_bits, oracle_find_nearest, oracle_partitions,
-                     oracle_route)
+from oracles import (oracle_find_nearest, oracle_partitions, oracle_route)
 
 
 def build_index(rng, n=500, d=24, m=10, lam=2, tables=2, divisions=2, block=16,

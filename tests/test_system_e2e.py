@@ -8,7 +8,6 @@ import pytest
 from fspann_tpu.api.system import ForwardSecureANNSystem
 from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig, EvalConfig
 from fspann_tpu.io import groundtruth
-import dataclasses
 
 
 DIM = 16

@@ -47,7 +47,9 @@ def _scan_kernel(q_ref, base_ref, outd_ref, outi_ref, run_d, run_i, *,
                                preferred_element_type=jnp.float32)
     b2 = jnp.sum(b * b, axis=-1)[None, :]             # [1, TN]
     scores = b2 - 2.0 * dots                          # [QT, TN]
-    idx = (step * tile_n
+    # keep index math in int32: under jax_enable_x64 the python-int tile
+    # size promotes to i64, which Mosaic cannot truncate
+    idx = (jnp.int32(step) * jnp.int32(tile_n)
            + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1))
 
     cat_d = jnp.concatenate([run_d[:], scores], axis=1)

@@ -36,8 +36,10 @@ def _partner(x: jax.Array, j: int) -> jax.Array:
     """Values at lane ``i ^ j`` along the last axis (pltpu.roll requires a
     non-negative shift, so the i+j read rolls by n-j)."""
     n = x.shape[-1]
-    fwd = pltpu.roll(x, n - j, axis=x.ndim - 1)  # lane i reads i+j
-    bwd = pltpu.roll(x, j, axis=x.ndim - 1)      # lane i reads i-j
+    # int32 shifts: under jax_enable_x64 a python int traces as i64, which
+    # tpu.dynamic_rotate rejects
+    fwd = pltpu.roll(x, np.int32(n - j), axis=x.ndim - 1)  # lane i reads i+j
+    bwd = pltpu.roll(x, np.int32(j), axis=x.ndim - 1)       # lane i reads i-j
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where((lane & j) != 0, bwd, fwd)
 
@@ -47,23 +49,29 @@ def _cex(v: jax.Array, ix: jax.Array, j: int, keep_min: jax.Array):
     direction; (value, index) keys with index tie-break."""
     pv = _partner(v, j)
     pi = _partner(ix, j)
-    lt = (v < pv) | ((v == pv) & (ix < pi))
-    choose_self = jnp.where(keep_min, lt, ~lt)
+    # int32 mask algebra (bool->i32 extensions only; i64 literals from the
+    # x64 default recurse Mosaic's convert lowering, and selects with i1
+    # payloads don't lower at all).  i1 appears only as select conditions.
+    lt = ((v < pv) | ((v == pv) & (ix < pi))).astype(jnp.int32)
+    # (keep_min ? lt : ~lt) == XNOR(keep_min, lt)
+    choose_self = (keep_min ^ lt) == 0
     return (jnp.where(choose_self, v, pv),
             jnp.where(choose_self, ix, pi))
 
 
-def _bitonic_sort(v: jax.Array, ix: jax.Array):
-    """Full ascending bitonic sort of the last axis (power-of-two length)."""
+def _bitonic_sort(v: jax.Array, ix: jax.Array, ascending: bool = True):
+    """Full bitonic sort of the last axis (power-of-two length)."""
     n = v.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     k = 2
     while k <= n:
         j = k // 2
         while j >= 1:
-            lower = (lane & j) == 0
-            up = (lane & k) == 0
-            v, ix = _cex(v, ix, j, lower == up)
+            lower = ((lane & j) == 0).astype(jnp.int32)
+            up = ((lane & k) == 0).astype(jnp.int32)
+            flip = jnp.int32(1 if ascending else 0)
+            keep_min = (lower ^ up) ^ flip  # 1 where direction keeps the min
+            v, ix = _cex(v, ix, j, keep_min)
             j //= 2
         k *= 2
     return v, ix
@@ -75,7 +83,7 @@ def _bitonic_merge(v: jax.Array, ix: jax.Array):
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     j = n // 2
     while j >= 1:
-        v, ix = _cex(v, ix, j, (lane & j) == 0)
+        v, ix = _cex(v, ix, j, ((lane & j) == 0).astype(jnp.int32))
         j //= 2
     return v, ix
 
@@ -96,20 +104,31 @@ def _topk_kernel(q_ref, base_ref, outd_ref, outi_ref, run_d, run_i, *,
                                preferred_element_type=jnp.float32)
     b2 = jnp.sum(b * b, axis=-1)[None, :]
     scores = b2 - 2.0 * dots                          # [QT, TN]
-    idx = (step * tile_n
+    # keep index math in int32: under jax_enable_x64 the python-int tile
+    # size promotes to i64, which Mosaic cannot truncate
+    idx = (jnp.int32(step) * jnp.int32(tile_n)
            + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1))
 
-    sv, si = _bitonic_sort(scores, idx)               # ascending over TN
-    # concat(running asc, reverse(tile top-K asc)) is bitonic over 2K
-    topv = sv[:, :k]
-    topi = si[:, :k]
-    rev = jnp.flip(topv, axis=-1)
-    revi = jnp.flip(topi, axis=-1)
-    mv = jnp.concatenate([run_d[:], rev], axis=-1)    # [QT, 2K]
-    mi = jnp.concatenate([run_i[:], revi], axis=-1)
-    mv, mi = _bitonic_merge(mv, mi)
-    run_d[:] = mv[:, :k]
-    run_i[:] = mi[:, :k]
+    # Sort the tile DESCENDING: its last K lanes are the K smallest in
+    # descending order, so (running asc ++ tile tail) is a bitonic sequence
+    # of 2K — no reverse needed (Mosaic has no rev lowering).  The first
+    # cross-half exchange of a bitonic merge leaves every element of the
+    # lower half <= every element of the upper half, so the K smallest are
+    # exactly the pairwise minima of (run, tail) — merge only that half and
+    # never materialize a 2K concatenation (lane-concat also fails to
+    # legalize in Mosaic).
+    sv, si = _bitonic_sort(scores, idx, ascending=False)
+    tn = sv.shape[-1]
+    tail_v = sv[:, tn - k:]
+    tail_i = si[:, tn - k:]
+    rv = run_d[:]
+    ri = run_i[:]
+    lt = (rv < tail_v) | ((rv == tail_v) & (ri < tail_i))
+    lo_v = jnp.where(lt, rv, tail_v)
+    lo_i = jnp.where(lt, ri, tail_i)
+    mv, mi = _bitonic_merge(lo_v, lo_i)   # lower half is itself bitonic
+    run_d[:] = mv
+    run_i[:] = mi
 
     @pl.when(step == n_steps - 1)
     def _():

@@ -252,20 +252,64 @@ class PointStore:
         return True
 
     def audit_drift(self) -> dict:
-        """Set-diff metadata ids vs arena records (reference auditDrift:649-689)."""
+        """Set-diff metadata ids vs arena records (reference auditDrift:649-689).
+
+        ``meta_without_arena``: live metadata whose current-version arena
+        record is missing/corrupt (data loss).  ``arena_garbage``: arena
+        records no live metadata points at (superseded by re-encryption or
+        tombstoned — reclaimable via compact_version)."""
         meta_ids = set(self.meta.live_ids().tolist())
-        arena_ids = set()
+        backed = set()
+        garbage = 0
         for name in os.listdir(self.points_dir):
             if not name.endswith(".arena"):
                 continue
             kv = int(name[1:-len(".arena")])
-            for _off, pid, rkv, _dim, _iv, _ct in self._reader(kv).scan():
+            for off, pid, rkv, _dim, _iv, _ct in self._reader(kv).scan():
                 m = self.meta.get(pid)
-                if m is not None and m.key_version == rkv:
-                    arena_ids.add(pid)
-        return {"meta_only": sorted(meta_ids - arena_ids),
-                "arena_missing": sorted(meta_ids - arena_ids),
+                if (m is not None and m.key_version == rkv
+                        and m.arena_off == off):
+                    backed.add(pid)
+                else:
+                    garbage += 1
+        return {"meta_without_arena": sorted(meta_ids - backed),
+                "arena_garbage_records": garbage,
                 "meta_count": len(meta_ids)}
+
+    def compact_version(self, kv: int) -> int:
+        """Rewrite one live version's arena keeping only records current
+        metadata points at (the reference queues superseded per-point files
+        for deferred cleanup, RocksDBMetadataManager.java:430-498; with
+        arenas, reclamation is a sequential rewrite).  Returns bytes freed."""
+        path = self._arena_path(kv)
+        if not os.path.exists(path):
+            return 0
+        reader = self._reader(kv)
+        before = reader.size
+        tmp_path = path + ".compact"
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        w = ArenaWriter(tmp_path)
+        moves: list[tuple[int, int]] = []
+        for off, pid, rkv, dim, iv, ct in reader.scan():
+            m = self.meta.get(pid)
+            if m is not None and m.key_version == rkv and m.arena_off == off:
+                new_off, _ = w.append(pid, rkv, dim, iv, ct)
+                moves.append((pid, new_off))
+        w.close()
+        # swap in the compacted arena, then commit the new offsets
+        r = self._readers.pop(kv, None)
+        if r is not None:
+            r.close()
+        wr = self._writers.pop(kv, None)
+        if wr is not None:
+            wr.close()
+        os.replace(tmp_path, path)
+        for pid, new_off in moves:
+            m = self.meta.get(pid)
+            self.meta.put(pid, kv, m.dim, new_off)
+        self.meta.flush()
+        return before - os.path.getsize(path)
 
     def restore_iter(self, batch: int = 4096):
         """Yield (ids int64 [b], vecs f32 [b, dim]) decrypting every live

@@ -131,3 +131,44 @@ def test_restore_iter(store, rng):
             got[int(i)] = v
     assert len(got) == 24 and 2 not in got
     np.testing.assert_allclose(got[3], vecs[3], rtol=1e-6)
+
+
+def test_audit_drift_and_compaction(store, rng):
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    store.insert_batch(np.arange(40), vecs)
+    drift = store.audit_drift()
+    assert drift["meta_without_arena"] == []
+    assert drift["arena_garbage_records"] == 0
+
+    # churn: re-encrypt half within the SAME version space by rewriting
+    store.km.rotate()
+    store.reencrypt_ids(np.arange(20))      # v1 arena now has 20 garbage recs
+    drift = store.audit_drift()
+    assert drift["arena_garbage_records"] == 20
+    assert drift["meta_without_arena"] == []
+
+    freed = store.compact_version(1)
+    assert freed > 0
+    drift2 = store.audit_drift()
+    assert drift2["arena_garbage_records"] == 0
+    # all data still decryptable after compaction (offsets rewritten)
+    out, ok = store.load_decrypt_batch(np.arange(40))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+
+
+def test_compaction_survives_reopen(tmp_path, rng):
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    s.insert_batch(np.arange(30), vecs)
+    km.rotate()
+    s.reencrypt_ids(np.arange(15))
+    s.compact_version(1)
+    s.close()
+    s2 = PointStore(str(tmp_path / "db"), KeyManager(str(tmp_path / "ks.blob")),
+                    dim=8)
+    out, ok = s2.load_decrypt_batch(np.arange(30))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+    s2.close()

@@ -129,8 +129,11 @@ def streaming_topk(base, queries, k: int = 100, tile_n: int = 2048,
         e = min(s + q_pad, nq)
         qp = np.zeros((q_pad, d_pad), np.float32)
         qp[:e - s, :d] = queries[s:e]
-        dist, ids = _scan_call(jnp.asarray(qp), base_dev, k_pad, tile_n,
-                               interpret)
+        # x64 mode breaks gridded Mosaic lowering (i64 leaks into grid
+        # index plumbing); the kernel is pure f32/i32, so scope x64 off.
+        with jax.enable_x64(False):
+            dist, ids = _scan_call(jnp.asarray(qp), base_dev, k_pad, tile_n,
+                             interpret)
         dist = np.asarray(dist[:e - s, :k_eff])
         ids = np.asarray(ids[:e - s, :k_eff])
         q2 = np.einsum("ij,ij->i", queries[s:e], queries[s:e])

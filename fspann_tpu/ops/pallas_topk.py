@@ -32,60 +32,72 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _partner(x: jax.Array, j: int) -> jax.Array:
-    """Values at lane ``i ^ j`` along the last axis (pltpu.roll requires a
-    non-negative shift, so the i+j read rolls by n-j)."""
+def _partner_dyn(x: jax.Array, j: jax.Array) -> jax.Array:
+    """Values at lane ``i ^ j`` along the last axis; ``j`` is a traced int32
+    power of two (dynamic rotates keep the stage loop rolled so Mosaic's
+    non-reusing stack allocator sees O(1) temporaries, not O(stages))."""
     n = x.shape[-1]
-    # int32 shifts: under jax_enable_x64 a python int traces as i64, which
-    # tpu.dynamic_rotate rejects
-    fwd = pltpu.roll(x, np.int32(n - j), axis=x.ndim - 1)  # lane i reads i+j
-    bwd = pltpu.roll(x, np.int32(j), axis=x.ndim - 1)       # lane i reads i-j
+    fwd = pltpu.roll(x, jnp.int32(n) - j, axis=x.ndim - 1)  # lane i reads i+j
+    bwd = pltpu.roll(x, j, axis=x.ndim - 1)                 # lane i reads i-j
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where((lane & j) != 0, bwd, fwd)
 
 
-def _cex(v: jax.Array, ix: jax.Array, j: int, keep_min: jax.Array):
-    """One compare-exchange stage at XOR distance ``j`` with per-lane
-    direction; (value, index) keys with index tie-break."""
-    pv = _partner(v, j)
-    pi = _partner(ix, j)
-    # int32 mask algebra (bool->i32 extensions only; i64 literals from the
-    # x64 default recurse Mosaic's convert lowering, and selects with i1
-    # payloads don't lower at all).  i1 appears only as select conditions.
+def _cex_dyn(v, ix, j, keep_min):
+    """Compare-exchange at traced XOR distance ``j``.  int32 mask algebra
+    (bool->i32 extensions only: i64 literals from the x64 default recurse
+    Mosaic's convert lowering, and selects with i1 payloads don't lower);
+    index tie-break keeps duplicate values' ids distinct."""
+    pv = _partner_dyn(v, j)
+    pi = _partner_dyn(ix, j)
     lt = ((v < pv) | ((v == pv) & (ix < pi))).astype(jnp.int32)
-    # (keep_min ? lt : ~lt) == XNOR(keep_min, lt)
-    choose_self = (keep_min ^ lt) == 0
+    choose_self = (keep_min ^ lt) == 0     # XNOR == (keep_min ? lt : ~lt)
     return (jnp.where(choose_self, v, pv),
             jnp.where(choose_self, ix, pi))
 
 
 def _bitonic_sort(v: jax.Array, ix: jax.Array, ascending: bool = True):
-    """Full bitonic sort of the last axis (power-of-two length)."""
+    """Bitonic sort of the last axis (power-of-two length) as rolled
+    fori_loops: outer over block levels, inner over stage distances."""
     n = v.shape[-1]
+    levels = n.bit_length() - 1          # log2(n)
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    k = 2
-    while k <= n:
-        j = k // 2
-        while j >= 1:
-            lower = ((lane & j) == 0).astype(jnp.int32)
-            up = ((lane & k) == 0).astype(jnp.int32)
-            flip = jnp.int32(1 if ascending else 0)
-            keep_min = (lower ^ up) ^ flip  # 1 where direction keeps the min
-            v, ix = _cex(v, ix, j, keep_min)
-            j //= 2
-        k *= 2
-    return v, ix
+    flip = jnp.int32(1 if ascending else 0)
+
+    def outer(level, carry):
+        k = jnp.int32(1) << level
+
+        def inner(m, carry2):
+            vv, xx = carry2
+            j = k >> (m + 1)
+
+            def do(c):
+                vv2, xx2 = c
+                lower = ((lane & j) == 0).astype(jnp.int32)
+                up = ((lane & k) == 0).astype(jnp.int32)
+                keep_min = (lower ^ up) ^ flip
+                return _cex_dyn(vv2, xx2, j, keep_min)
+
+            return jax.lax.cond(j >= 1, do, lambda c: c, (vv, xx))
+
+        return jax.lax.fori_loop(0, levels, inner, carry)
+
+    return jax.lax.fori_loop(1, levels + 1, outer, (v, ix))
 
 
 def _bitonic_merge(v: jax.Array, ix: jax.Array):
     """Ascending merge of a bitonic sequence along the last axis."""
     n = v.shape[-1]
+    levels = n.bit_length() - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    j = n // 2
-    while j >= 1:
-        v, ix = _cex(v, ix, j, ((lane & j) == 0).astype(jnp.int32))
-        j //= 2
-    return v, ix
+
+    def body(m, carry):
+        vv, xx = carry
+        j = jnp.int32(n) >> (m + 1)
+        keep_min = ((lane & j) == 0).astype(jnp.int32)
+        return _cex_dyn(vv, xx, j, keep_min)
+
+    return jax.lax.fori_loop(0, levels, body, (v, ix))
 
 
 def _topk_kernel(q_ref, base_ref, outd_ref, outi_ref, run_d, run_i, *,
@@ -165,11 +177,14 @@ def _topk_call(queries, base, k: int, tile_n: int, interpret: bool):
 
 
 def bitonic_topk(base, queries, k: int = 100, tile_n: int = 512,
-                 q_tile: int = 128, interpret: bool = False):
+                 q_tile: int = 32, interpret: bool = False):
     """Exact L2 top-k via the bitonic streaming kernel.
 
     Returns (ids int32 [Q, K], dists f32 [Q, K] true L2).  K and the tile
     are padded to powers of two/hardware lanes; padded rows never surface.
+    The (q_tile=32, tile_n=512) default is the largest shape that fits
+    Mosaic's 16MB scoped-VMEM stack on v5e (the allocator does not reuse
+    temporaries across compare-exchange stages).
     """
     base = np.asarray(base, np.float32)
     queries = np.asarray(queries, np.float32)
@@ -196,8 +211,11 @@ def bitonic_topk(base, queries, k: int = 100, tile_n: int = 512,
         e = min(s + q_pad, nq)
         qp = np.zeros((q_pad, d_pad), np.float32)
         qp[:e - s, :d] = queries[s:e]
-        dist, ids = _topk_call(jnp.asarray(qp), base_dev, k_pad, tile_n,
-                               interpret)
+        # x64 mode breaks gridded Mosaic lowering (i64 leaks into grid
+        # index plumbing); the kernel is pure f32/i32, so scope x64 off.
+        with jax.enable_x64(False):
+            dist, ids = _topk_call(jnp.asarray(qp), base_dev, k_pad, tile_n,
+                             interpret)
         dist = np.asarray(dist[:e - s, :k_eff])
         ids = np.asarray(ids[:e - s, :k_eff])
         q2 = np.einsum("ij,ij->i", queries[s:e], queries[s:e])

@@ -63,12 +63,12 @@ def precompute(base: np.ndarray, queries: np.ndarray, k: int = 100,
     this, GroundtruthPrecompute.java:249-268; one batched matmul + top-k
     does it on the MXU).
 
-    backend: "xla" (chunked matmul+top_k) or "pallas" (streaming fused
-    kernel, ops/pallas_scan.py — single base read, VMEM-resident top-k).
+    backend: "xla" (chunked matmul+top_k) or "pallas" (streaming bitonic
+    kernel, ops/pallas_topk.py — single base read, VMEM-resident top-k).
     """
     if backend == "pallas":
-        from ..ops.pallas_scan import streaming_topk
-        ids, _dist = streaming_topk(base, queries, k)
+        from ..ops.pallas_topk import bitonic_topk
+        ids, _dist = bitonic_topk(base, queries, k)
     else:
         ids, _dist = bruteforce_topk(base, np.asarray(queries, np.float32),
                                      k, chunk)

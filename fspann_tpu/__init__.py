@@ -22,8 +22,11 @@ import jax
 # different platform pinned (this image registers the axon TPU plugin at
 # interpreter start; env vars read later would otherwise be ignored).
 _env_platforms = os.environ.get("JAX_PLATFORMS")
-if _env_platforms and not (getattr(jax.config, "jax_platforms", None) or ""):
-    # an explicit earlier jax.config.update always wins over the env
+if _env_platforms and \
+        (getattr(jax.config, "jax_platforms", None) or "") != _env_platforms:
+    # the env var is the caller's explicit choice; sitecustomize pins the
+    # axon TPU via config before user code runs, so config alone can't be
+    # trusted (code that overrides programmatically should also set the env)
     try:
         jax.config.update("jax_platforms", _env_platforms)
     except Exception:  # noqa: BLE001 — never block import on platform quirks

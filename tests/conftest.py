@@ -12,6 +12,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# env AND config must agree: the package __init__ trusts the env var over
+# a config pinned by this image's sitecustomize
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 

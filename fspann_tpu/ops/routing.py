@@ -58,8 +58,22 @@ def find_center(table: PartitionTable, qkeys: jax.Array) -> jax.Array:
     """
     g, p = table.min_key.shape
     garange = jnp.arange(g, dtype=jnp.int32)[None]                # [1, G]
-    qk = qkeys[..., None]                                         # [Q, G, 1]
-    below = jnp.sum(table.max_key[None] < qk, axis=-1).astype(jnp.int32)
+    # `below` = count of blocks with max_key < qk, via vectorized binary
+    # search: log2(P) gather steps of [Q, G] instead of materializing a
+    # [Q, G, P] comparison (180MB+ per batch at 10M-corpus scale)
+    lo = jnp.zeros(qkeys.shape, jnp.int32)
+    hi = jnp.full(qkeys.shape, p, jnp.int32)
+    steps = max(1, (p + 1).bit_length())
+
+    def bs_step(_, carry):
+        lo_, hi_ = carry
+        mid = (lo_ + hi_) // 2
+        v = table.max_key[garange, jnp.minimum(mid, p - 1)]
+        ge = v >= qkeys
+        return (jnp.where(ge, lo_, mid + 1), jnp.where(ge, mid, hi_))
+
+    lo, hi = jax.lax.fori_loop(0, steps, bs_step, (lo, hi))
+    below = lo
     c0 = jnp.minimum(below, p - 1)
     min_c0 = table.min_key[garange, c0]                           # [Q, G]
     inside = (below < p) & (min_c0 <= qkeys)

@@ -291,6 +291,10 @@ class ForwardSecureANNSystem:
                 f.write(",".join(str(v) for v in reenc.values()) + "\n")
         self.diagnostics.export_csv(
             os.path.join(results_dir, "query_diagnostics.csv"))
+        self.diagnostics.export_csv(
+            os.path.join(results_dir, "retrieved_worst.csv"))
+        self.diagnostics.export_samples_csv(
+            os.path.join(results_dir, "retrieved_samples.csv"))
         with open(os.path.join(results_dir, "metrics.txt"), "w") as f:
             f.write(self.metrics.export_text())
         cfg_sha = self.cfg.source_sha256 or hashlib.sha256(

@@ -24,9 +24,11 @@ class _WorstEntry:
 
 
 class QueryDiagnostics:
-    def __init__(self, worst_capacity: int = 20):
+    def __init__(self, worst_capacity: int = 20, sample_capacity: int = 20):
         self.worst_capacity = worst_capacity
+        self.sample_capacity = sample_capacity
         self._worst: list[_WorstEntry] = []   # max-heap by -recall via neg
+        self.samples: list[_WorstEntry] = []  # first N queries, in order
         self.zero_hit_queries: list[int] = []
         self.total = 0
 
@@ -39,6 +41,8 @@ class QueryDiagnostics:
                             [int(i) for i in returned_ids],
                             [float(d) for d in returned_dists],
                             [int(i) for i in gt_ids])
+        if len(self.samples) < self.sample_capacity:
+            self.samples.append(entry)
         if len(self._worst) < self.worst_capacity:
             heapq.heappush(self._worst, entry)
         else:
@@ -52,16 +56,25 @@ class QueryDiagnostics:
     def worst(self) -> list[_WorstEntry]:
         return sorted(self._worst, key=lambda e: -e.recall)
 
-    def export_csv(self, path: str) -> None:
+    @staticmethod
+    def _write(path: str, entries) -> None:
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["query_index", "recall", "returned_ids",
                         "returned_dists", "gt_ids"])
-            for e in self.worst():
+            for e in entries:
                 w.writerow([e.query_index, -e.recall,
                             " ".join(map(str, e.returned_ids)),
                             " ".join(f"{d:.4f}" for d in e.returned_dists),
                             " ".join(map(str, e.gt_ids))])
+
+    def export_csv(self, path: str) -> None:
+        """Worst-queries dump (reference retrieved_worst.csv)."""
+        self._write(path, self.worst())
+
+    def export_samples_csv(self, path: str) -> None:
+        """First-N-queries dump (reference retrieved_samples.csv)."""
+        self._write(path, self.samples)
 
     def summary(self) -> dict:
         return {

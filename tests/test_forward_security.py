@@ -168,3 +168,46 @@ def test_background_reencryption(tmp_path, rng):
     assert store.meta.count_with_version(1) == 0
     assert bg.run_once() == 0   # nothing stale left
     store.close()
+
+
+def test_background_reencryption_under_live_queries(tmp_path, rng):
+    """Soak: the background migrator runs concurrently with live decrypt
+    batches; every read stays consistent and migration completes
+    (reference BackgroundReencryptionScheduler's raison d'etre)."""
+    import threading
+
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    store = PointStore(str(tmp_path / "db"), km, dim=8)
+    svc = KeyRotationService(km, store)
+    vecs = rng.normal(size=(400, 8)).astype(np.float32)
+    store.insert_batch(np.arange(400), vecs)
+    svc.force_rotate_now()
+
+    bg = BackgroundReencryption(svc, interval_s=0.01, batch=50,
+                                load_shed_qps=1e9)
+    errors = []
+
+    def reader():
+        for _ in range(30):
+            out, ok = store.load_decrypt_batch(
+                rng.integers(0, 400, 64))
+            if not ok.all():
+                errors.append("decrypt failure during migration")
+                return
+
+    t = threading.Thread(target=reader)
+    bg.start()
+    t.start()
+    t.join()
+    # let migration finish
+    for _ in range(20):
+        if store.meta.count_with_version(1) == 0:
+            break
+        bg.run_once()
+    bg.stop()
+    assert not errors, errors
+    assert store.meta.count_with_version(1) == 0
+    out, ok = store.load_decrypt_batch(np.arange(400))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+    store.close()

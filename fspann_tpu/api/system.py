@@ -162,11 +162,14 @@ class ForwardSecureANNSystem:
         probes = self.cfg.runtime.effective_probes()
         n_base = max(self.index.size, 1)
 
-        for s in range(0, nq, self.query_batch):
+        starts = list(range(0, nq, self.query_batch))
+        batches = [self.tokens.create_batch(queries[s:s + self.query_batch],
+                                            max_k) for s in starts]
+        with self.profiler.timed("query"):
+            all_res = self.query_service.search_batches(batches)
+        for bi, (s, res) in enumerate(zip(starts, all_res)):
+            toks = batches[bi]
             q_block = queries[s:s + self.query_batch]
-            toks = self.tokens.create_batch(q_block, max_k)
-            with self.profiler.timed("query"):
-                res = self.query_service.search_batch(toks)
             if self.background:
                 self.background.note_query()
             recalls, ratios = self._metrics_block(s, len(q_block), res.ids,

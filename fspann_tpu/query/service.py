@@ -92,28 +92,48 @@ class QueryService:
         return batch.results(0)
 
     def search_batch(self, tokens: list[QueryToken]) -> BatchSearchResult:
-        if not tokens:
-            return BatchSearchResult(np.zeros((0, 0), np.int64),
-                                     np.zeros((0, 0), np.float32))
-        t_start = time.perf_counter()
+        return self.search_batches([tokens])[0]
+
+    def search_batches(self, batches: list[list[QueryToken]]
+                       ) -> list[BatchSearchResult]:
+        """Pipelined execution: the device routing for batch i+1 is
+        dispatched (JAX dispatch is asynchronous) before the host
+        decrypt+refine of batch i consumes its results, so TPU routing and
+        host AES overlap across batches."""
+        rt = self.cfg.runtime
+        results: list[BatchSearchResult] = []
+        pending = None
+        for tokens in list(batches) + [None]:
+            current = None
+            if tokens:
+                t_start = time.perf_counter()
+                qvecs = self._decrypt_queries(tokens)
+                routed = self._dispatch_route(tokens, rt.effective_probes(),
+                                              rt.refinement_limit)
+                current = (tokens, qvecs, routed, t_start)
+            if pending is not None:
+                results.append(self._finish_batch(*pending))
+            pending = current
+        return results
+
+    def _finish_batch(self, tokens, qvecs, routed, t_start
+                      ) -> BatchSearchResult:
         k = max(t.top_k for t in tokens)
         rt = self.cfg.runtime
-
-        qvecs = self._decrypt_queries(tokens)
         touched_parts: list[np.ndarray] = []
-        ids, dists, stats = self._run_pass(tokens, qvecs,
-                                           rt.effective_probes(),
-                                           rt.refinement_limit, k,
-                                           touched_parts)
+        ids, dists, stats = self._consume_pass(tokens, qvecs, routed, k,
+                                               touched_parts, t_start)
 
-        # Adaptive retry (once) for underfilled queries.
+        # Adaptive retry (once) for underfilled queries — synchronous, rare.
         need = [qi for qi, s in enumerate(stats) if self._need_retry(s, k)]
         if need and rt.retry_probes > rt.effective_probes():
             sub_tokens = [tokens[qi] for qi in need]
             sub_q = qvecs[need]
-            rids, rdists, rstats = self._run_pass(
-                sub_tokens, sub_q, rt.retry_probes, rt.refinement_limit, k,
-                touched_parts)
+            t_retry = time.perf_counter()
+            routed2 = self._dispatch_route(sub_tokens, rt.retry_probes,
+                                           rt.refinement_limit)
+            rids, rdists, rstats = self._consume_pass(
+                sub_tokens, sub_q, routed2, k, touched_parts, t_retry)
             for j, qi in enumerate(need):
                 ids[qi], dists[qi] = rids[j], rdists[j]
                 rstats[j].retried = True
@@ -152,13 +172,15 @@ class QueryService:
         return s.returned < k or s.cand_decrypted < min(
             10 * k, self.cfg.runtime.refinement_limit)
 
-    def _run_pass(self, tokens, qvecs, probes, limit, k,
-                  touched_parts: list | None = None):
-        t0 = time.perf_counter()
+    def _dispatch_route(self, tokens, probes, limit):
+        """Stage A dispatch — returns device arrays without blocking."""
         qc = jnp.asarray(np.stack([t.codes for t in tokens]))
         qk = jnp.asarray(np.stack([t.keys for t in tokens]))
-        routed = self.index.route_batch(qc, qk, probes, limit)
-        cand_ids = np.asarray(routed.ids)              # [Q, R]
+        return self.index.route_batch(qc, qk, probes, limit)
+
+    def _consume_pass(self, tokens, qvecs, routed, k, touched_parts,
+                      t_start):
+        cand_ids = np.asarray(routed.ids)              # blocks on the device
         n_unique = np.asarray(routed.n_unique)
         n_raw = np.asarray(routed.n_raw)
         t1 = time.perf_counter()
@@ -192,7 +214,7 @@ class QueryService:
                 cand_raw=int(n_raw[qi]), cand_unique=int(n_unique[qi]),
                 cand_refined=int((cand_ids[qi] >= 0).sum()),
                 cand_decrypted=int(n_scored[qi]), returned=returned,
-                route_ns=int((t1 - t0) * 1e9 / q),
+                route_ns=int((t1 - t_start) * 1e9 / q),
                 decrypt_ns=int((t2 - t1) * 1e9 / q),
                 refine_ns=int((t3 - t2) * 1e9 / q)))
         return ids, dists, stats

@@ -10,7 +10,8 @@ SIFT_P4_FAST — ART 1429.8 ms/query ⇒ 0.699 q/s (BASELINE.md, measured on a
 ~354 GB-heap server).  vs_baseline = our encrypted q/s ÷ 0.699.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
-BENCH_BATCH (64).
+BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_PREFLIGHT_S (540),
+BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
 """
 
 import json

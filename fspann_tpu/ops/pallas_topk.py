@@ -8,11 +8,14 @@ XOR-partner exchange of a bitonic stage is expressed as two rolls selected
 by the partner bit — lanes with bit ``j`` clear read ``i+j``, lanes with it
 set read ``i-j``.
 
-Per grid step (one base tile): MXU scores ``|b|^2 - 2 q·b`` → full bitonic
-sort of the tile's lanes (ties broken by index so duplicate distances keep
-distinct ids) → bitonic merge of (running top-K asc ++ reversed tile top-K)
-→ new running top-K, all in VMEM.  HBM traffic: one base read + one [Q, K]
-write — the bandwidth floor for an exact scan.
+Per grid step (one base tile): MXU scores ``|b|^2 - 2 q·b`` → descending
+bitonic sort of the tile's lanes (ties broken by index so duplicate
+distances keep distinct ids) → cross-half exchange against the running
+ascending top-K (whose minima ARE the new top-K set) → K-lane bitonic
+merge, all in VMEM.  HBM traffic: one base read + one [Q, K] write — the
+bandwidth floor for an exact scan.  See CLAUDE.md for the Mosaic
+constraints that shaped this (no sort/top_k/rev, i1-select and i64
+limits, non-reusing scoped-VMEM stack).
 """
 
 from __future__ import annotations

@@ -186,3 +186,47 @@ def test_adaptive_retry_triggers(tmp_path, corpus):
         assert retried, "expected at least one adaptive retry"
     finally:
         sys_.shutdown()
+
+
+def test_system_level_forward_security_game(tmp_path, corpus):
+    """System-level G1/G3 (reference it/adversarial/
+    ForwardSecurityAdversarialIT): an adversary snapshots the current
+    session key, queries touch a candidate set, S-R.E migrates exactly the
+    touched set, and the snapshot decrypts none of the migrated records."""
+    from fspann_tpu.crypto import aesgcm
+    from fspann_tpu.types import aad_for
+
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        stolen = aesgcm.GcmKey(sys_.km.get_version(1).key)
+
+        sys_.search(sys_.create_token(queries[0], 10))
+        touched_before = sys_.tracker.unique_count()
+        assert touched_before > 10   # all decrypted candidates, not just top-K
+
+        rep = sys_.run_selective_reencryption()
+        assert rep["reencrypted"] == touched_before
+
+        # the stolen v1 key opens zero migrated records
+        migrated = [pid for pid in range(N)
+                    if sys_.store.key_version_of(pid) == 2]
+        assert len(migrated) == touched_before
+        opened = 0
+        for pid in migrated[:50]:
+            m = sys_.store.meta.get(pid)
+            _rid, _kv, _dim, iv, ct = sys_.store._reader(2).read_record(
+                m.arena_off)
+            for v in (1, 2):
+                try:
+                    stolen.open(iv, ct, aad_for(pid, v, DIM))
+                    opened += 1
+                except ValueError:
+                    pass
+        assert opened == 0
+        # untouched records remain on v1 (lazy migration)
+        assert sys_.store.meta.count_with_version(1) == N - touched_before
+    finally:
+        sys_.shutdown()

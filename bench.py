@@ -90,12 +90,6 @@ def main():
     if platform == "cpu-fallback":
         # env alone is too late — sitecustomize already imported jax
         jax.config.update("jax_platforms", "cpu")
-    elif encode_backend == "cpu":
-        # host encode needs the cpu backend registered ALONGSIDE the TPU
-        cur = (getattr(jax.config, "jax_platforms", None)
-               or os.environ.get("JAX_PLATFORMS") or "")
-        if cur and "cpu" not in cur.split(","):
-            jax.config.update("jax_platforms", cur + ",cpu")
 
     # Persistent compile cache: the axon remote-compile round trip dominates
     # cold builds; cached recompiles are near-free across runs.

@@ -129,18 +129,20 @@ class PartitionedIndex:
             return
         self._encode_staged(ids, vecs)
 
-    def _cpu_device(self):
-        return jax.devices("cpu")[0]
+    def _host_bank(self) -> coding.GBank:
+        if self._bank_cpu is None:
+            self._bank_cpu = coding.GBank(
+                np.asarray(self.bank.alpha), np.asarray(self.bank.r),
+                np.asarray(self.bank.omega), self.bank.m, self.bank.lam,
+                self.bank.tables, self.bank.divisions, self.bank.seed)
+        return self._bank_cpu
 
     def _encode_staged(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         if self.cfg.runtime.encode_backend == "cpu":
-            # keep ingestion on the host: no per-batch device round trips
-            # (the built table ships to the device once at finalize)
-            if self._bank_cpu is None:
-                cpu = self._cpu_device()
-                self._bank_cpu = jax.device_put(self.bank, cpu)
-            with jax.default_device(self._cpu_device()):
-                codes, keys = coding.encode(jnp.asarray(vecs), self._bank_cpu)
+            # keep ingestion on the host (pure numpy — no per-batch device
+            # round trips, no host-XLA compiles); the built table ships to
+            # the device once at finalize
+            codes, keys = coding.encode_numpy(vecs, self._host_bank())
         else:
             codes, keys = coding.encode(jnp.asarray(vecs), self.bank)
         self._codes.append(np.asarray(codes))
@@ -176,17 +178,13 @@ class PartitionedIndex:
         self._dense = bool(len(ids) and ids[0] == 0
                            and ids[-1] == len(ids) - 1)
         if self.cfg.runtime.encode_backend == "cpu":
-            # sort/build on the host too, then ship the compact table to the
-            # session device in one transfer
-            with jax.default_device(self._cpu_device()):
-                table = partition.build_partitions(
-                    jnp.asarray(np.transpose(keys, (1, 0))),
-                    jnp.asarray(np.transpose(codes, (1, 0, 2))),
-                    self.cfg.runtime.block_size)
-            default = jax.devices()[0]
-            if default != self._cpu_device():
-                table = jax.device_put(table, default)
-            self.table = table
+            # sort/build on the host too (numpy), then ship the compact
+            # table to the session device in one transfer
+            table = partition.build_partitions_numpy(
+                np.ascontiguousarray(np.transpose(keys, (1, 0))),
+                np.ascontiguousarray(np.transpose(codes, (1, 0, 2))),
+                self.cfg.runtime.block_size)
+            self.table = jax.device_put(table)
         else:
             codes_gn = jnp.asarray(np.transpose(codes, (1, 0, 2)))
             keys_gn = jnp.asarray(np.transpose(keys, (1, 0)))
@@ -230,11 +228,8 @@ class PartitionedIndex:
             # queries must be coded on the same backend as the corpus —
             # f32 matmul rounding differs across backends exactly at bucket
             # boundaries
-            if self._bank_cpu is None:
-                self._bank_cpu = jax.device_put(self.bank, self._cpu_device())
-            with jax.default_device(self._cpu_device()):
-                return coding.encode(jnp.asarray(queries, jnp.float32),
-                                     self._bank_cpu)
+            return coding.encode_numpy(np.asarray(queries, np.float32),
+                                       self._host_bank())
         qc, qk = coding.encode(jnp.asarray(queries, jnp.float32), self.bank)
         return qc, qk
 

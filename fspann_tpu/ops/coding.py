@@ -211,3 +211,42 @@ def encode(x: jax.Array, bank: GBank) -> tuple[jax.Array, jax.Array]:
     codes = pack_codes(h, bank.m, bank.lam)
     keys = keys_from_codes(codes)
     return codes, keys
+
+
+# ----------------------------------------------------------------------------
+# Host (numpy) encode path — used when ingestion runs on the host
+# ----------------------------------------------------------------------------
+
+def encode_numpy(x: np.ndarray, bank: GBank
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Same pipeline as :func:`encode` in pure numpy (BLAS matmul + packing).
+
+    Used for host-side ingestion (``runtime.encode_backend="cpu"``) where a
+    remote device link would make per-batch round trips the build bottleneck.
+    Corpus and queries must be encoded on the SAME backend — f32 rounding can
+    differ across backends exactly at bucket boundaries.
+    """
+    a = np.asarray(bank.alpha, np.float32)
+    r = np.asarray(bank.r, np.float32)
+    om = np.asarray(bank.omega, np.float32)
+    x = np.asarray(x, np.float32)
+    y = np.einsum("nd,gmd->ngm", x, a, optimize=True)
+    h = np.floor((y + r) / om).astype(np.int32)
+
+    m, lam, w = bank.m, bank.lam, bank.code_words
+    hu = h.astype(np.uint32)
+    shifts = np.arange(lam - 1, -1, -1, dtype=np.uint32)
+    bits = (hu[..., None, :] >> shifts[:, None]) & np.uint32(1)
+    bits = bits.reshape(*h.shape[:-1], lam * m)
+    pad = w * 32 - lam * m
+    if pad:
+        bits = np.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    bits = bits.reshape(*h.shape[:-1], w, 32)
+    weights = (np.uint32(1) << (np.uint32(31)
+                                - np.arange(32, dtype=np.uint32)))
+    codes = (bits.astype(np.uint64) * weights).sum(-1).astype(np.uint32)
+
+    k = codes[..., 0].astype(np.int64) << 31
+    if w > 1:
+        k = k | (codes[..., 1].astype(np.int64) >> 1)
+    return codes, k

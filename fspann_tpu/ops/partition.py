@@ -97,3 +97,43 @@ def build_partitions(keys: jax.Array, codes: jax.Array,
                           jnp.zeros_like(rep_codes))
 
     return PartitionTable(min_key, max_key, rep_codes, sids, counts)
+
+
+def build_partitions_numpy(keys: "np.ndarray", codes: "np.ndarray",
+                           block_size: int = 64) -> PartitionTable:
+    """Host-side build with the same layout/semantics as
+    :func:`build_partitions` (ties break by id); the resulting table is a
+    pytree of numpy arrays ready for one ``jax.device_put``."""
+    import numpy as np
+
+    g, n = keys.shape
+    b = block_size
+    p = -(-n // b)
+    pad = p * b - n
+    ids0 = np.arange(n, dtype=np.int32)
+
+    skeys = np.empty((g, p * b), np.int64)
+    sids = np.empty((g, p * b), np.int32)
+    for gi in range(g):
+        order = np.lexsort((ids0, keys[gi]))
+        skeys[gi, :n] = keys[gi][order]
+        sids[gi, :n] = ids0[order]
+    if pad:
+        skeys[:, n:] = np.iinfo(np.int64).max
+        sids[:, n:] = -1
+    skeys = skeys.reshape(g, p, b)
+    sids = sids.reshape(g, p, b)
+
+    counts = np.clip(np.int64(n) - np.arange(p, dtype=np.int64) * b, 0, b
+                     ).astype(np.int32)
+    counts = np.broadcast_to(counts, (g, p)).copy()
+    min_key = skeys[:, :, 0].copy()
+    last = np.maximum(counts - 1, 0)
+    max_key = np.take_along_axis(skeys, last[..., None], axis=-1)[..., 0]
+    mid = (counts - 1) // 2
+    mid_ids = np.take_along_axis(sids, mid[..., None], axis=-1)[..., 0]
+    safe_mid = np.maximum(mid_ids, 0)
+    rep_codes = codes[np.arange(g)[:, None], safe_mid]
+    rep_codes = np.where((mid_ids >= 0)[..., None], rep_codes, 0
+                         ).astype(np.uint32)
+    return PartitionTable(min_key, max_key, rep_codes, sids, counts)

@@ -103,3 +103,23 @@ def test_encode_end_to_end(rng):
     # same vector -> same code (deterministic)
     c2, k2 = coding.encode(jnp.asarray(x), bank)
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(c2))
+
+
+def test_encode_numpy_matches_device_encode(rng):
+    """Host (numpy) and device encode agree except at rare f32 bucket
+    boundaries (different matmul summation orders); packing/keys are exact
+    given H."""
+    bank, _ = make_bank(rng, d=32, m=24, lam=2, tables=3, divisions=2)
+    x = rng.normal(size=(500, 32)).astype(np.float32)
+    nc, nk = coding.encode_numpy(x, bank)
+    jc, jk = coding.encode(jnp.asarray(x), bank)
+    match = (np.asarray(jc) == nc).mean()
+    assert match > 0.999, f"code word agreement {match}"
+    # keys derive exactly from codes
+    np.testing.assert_array_equal(
+        nk, np.asarray(coding.keys_from_codes(jnp.asarray(nc))))
+    # packing path identical given identical H
+    h = np.asarray(coding.project_h(jnp.asarray(x), bank))
+    from oracles import oracle_code_bits, oracle_pack
+    expected = oracle_pack(oracle_code_bits(h, bank.m, bank.lam))
+    np.testing.assert_array_equal(np.asarray(jc), expected)

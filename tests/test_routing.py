@@ -163,3 +163,58 @@ def test_route_dedupes_min_score(rng):
         s = scores[qi][ids[qi] >= 0]
         assert np.all(np.diff(s) >= 0), "scores not ascending"
         assert int(res.n_unique[qi]) == len(live) or len(live) == 500
+
+
+def test_route_matches_oracle_lam3(rng):
+    """Route parity at lambda=3 (72-bit codes, W=3 words, key truncation to
+    the first 63 bits — codes longer than the key still rank by full
+    Hamming)."""
+    base, bank, codes, keys, table = build_index(rng, n=300, m=12, lam=3,
+                                                 block=16)
+    group_parts, group_rep_bits, bits = oracle_setup(base, bank, codes, keys, 16)
+    queries = rng.normal(size=(10, 24)).astype(np.float32) * 4
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    res = routing.route(table, qc, qk, jnp.zeros(300, bool), 3, 150)
+    qc_np, qk_np = np.asarray(qc), np.asarray(qk)
+    nbits = bank.code_bits
+    assert nbits == 36 * 1 or nbits == 36  # m*lam = 36 -> W=2
+    for qi in range(10):
+        qbits_per_group = []
+        for gi in range(bank.g):
+            words = qc_np[qi, gi]
+            qbits = np.zeros(nbits, np.uint8)
+            for p in range(nbits):
+                qbits[p] = (words[p // 32] >> np.uint32(31 - p % 32)) & 1
+            qbits_per_group.append(qbits)
+        expected = oracle_route(group_parts, group_rep_bits, qbits_per_group,
+                                qk_np[qi], max_probes=3, limit=150)
+        got = [(int(x), int(s)) for x, s in zip(np.asarray(res.ids[qi]),
+                                                np.asarray(res.scores[qi]))
+               if x >= 0]
+        assert got == expected, f"q={qi}"
+
+
+def test_route_matches_oracle_wide_codes(rng):
+    """m=24, lam=3: 72-bit codes exceed the 63-bit key (truncation path)."""
+    base, bank, codes, keys, table = build_index(rng, n=200, m=24, lam=3,
+                                                 block=16)
+    assert bank.code_bits == 72 and bank.code_words == 3
+    group_parts, group_rep_bits, _ = oracle_setup(base, bank, codes, keys, 16)
+    queries = rng.normal(size=(6, 24)).astype(np.float32) * 4
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    res = routing.route(table, qc, qk, jnp.zeros(200, bool), 3, 120)
+    qc_np, qk_np = np.asarray(qc), np.asarray(qk)
+    for qi in range(6):
+        qbits_per_group = []
+        for gi in range(bank.g):
+            words = qc_np[qi, gi]
+            qbits = np.zeros(72, np.uint8)
+            for p in range(72):
+                qbits[p] = (words[p // 32] >> np.uint32(31 - p % 32)) & 1
+            qbits_per_group.append(qbits)
+        expected = oracle_route(group_parts, group_rep_bits, qbits_per_group,
+                                qk_np[qi], max_probes=3, limit=120)
+        got = [(int(x), int(s)) for x, s in zip(np.asarray(res.ids[qi]),
+                                                np.asarray(res.scores[qi]))
+               if x >= 0]
+        assert got == expected, f"q={qi}"

@@ -312,7 +312,9 @@ class ForwardSecureANNSystem:
             f.write(f"generated_at={time.strftime('%Y-%m-%dT%H:%M:%S')}\n")
 
     def flush_all(self) -> None:
-        if len(self.insert_buffer) and not self.index.frozen:
+        if len(self.insert_buffer):
+            # raises if the index is already frozen — surfacing the misuse
+            # beats silently dropping buffered points
             self.insert_buffer.flush()
         self.store.meta.save_index_version(self.km.current_version)
         self.store.flush()

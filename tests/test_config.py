@@ -81,7 +81,8 @@ def test_overrides_layer():
 
 def test_all_bundled_configs_parse():
     for path in ("configs/sift1m.json", "configs/glove100.json",
-                 "configs/redcaps.json"):
+                 "configs/redcaps.json", "configs/gist1m.json",
+                 "configs/deep10m.json"):
         data = json.load(open(path))
         for name in data.get("profiles", {}):
             cfg = load_config(path, name)

@@ -87,12 +87,12 @@ def find_center(table: PartitionTable, qkeys: jax.Array) -> jax.Array:
     return jnp.where(inside, c0, fallback).astype(jnp.int32)
 
 
-def _greedy_interval(ham_w: jax.Array, max_probes: int) -> jax.Array:
+def _greedy_interval(ham_w: jax.Array, max_probes: int):
     """Greedy frontier walk over the probe window.
 
     ``ham_w``: int32 [..., V] window Hamming scores (INF marks out-of-range),
-    window center at index ``max_probes - 1``.  Returns bool [..., V] mask of
-    probed positions (a contiguous interval of ≤ max_probes positions).
+    window center at index ``max_probes - 1``.  Returns ``(lo, hi)`` int32
+    [...] — the probed interval's window coordinates (≤ max_probes wide).
     """
     v = ham_w.shape[-1]
     c = max_probes - 1
@@ -116,9 +116,7 @@ def _greedy_interval(ham_w: jax.Array, max_probes: int) -> jax.Array:
                 jnp.where(go_right, hi_ + 1, hi_))
 
     lo, hi = jax.lax.fori_loop(0, max_probes - 1, step, (lo, hi))
-    pos = jnp.arange(v, dtype=jnp.int32)
-    mask = (pos >= lo[..., None]) & (pos <= hi[..., None])
-    return mask & (ham_w < _INF)
+    return lo, hi
 
 
 @partial(jax.jit, static_argnames=("max_probes", "refinement_limit"))
@@ -138,6 +136,7 @@ def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     """
     q, g, w = qcodes.shape
     p = table.num_partitions
+    v = 2 * max_probes - 1
     garange = jnp.arange(g, dtype=jnp.int32)[None, :, None]       # [1, G, 1]
 
     center = find_center(table, qkeys)                            # [Q, G]
@@ -151,15 +150,24 @@ def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     ham_w = hamming(qcodes[:, :, None, :], rep_w)                 # [Q, G, V]
     ham_w = jnp.where(in_range, ham_w, _INF)
 
-    probed = _greedy_interval(ham_w, max_probes)                  # [Q, G, V]
+    lo, hi = _greedy_interval(ham_w, max_probes)                  # [Q, G]
 
-    # Collect ids of probed blocks, scored by their block's Hamming.
-    cand_ids = table.ids[garange, widx]                           # [Q, G, V, B]
-    cand_scores = jnp.broadcast_to(ham_w[..., None], cand_ids.shape)
+    # Gather exactly the probed interval's blocks (≤ max_probes of them) —
+    # the dedup sort then works on G*probes*B entries instead of the whole
+    # G*(2*probes-1)*B window.
+    woff = lo[..., None] + jnp.arange(max_probes, dtype=jnp.int32)  # [Q,G,Pr]
+    in_probe = woff <= hi[..., None]
+    woff_c = jnp.clip(woff, 0, v - 1)
+    pidx = jnp.take_along_axis(widx, woff_c, axis=-1)             # [Q, G, Pr]
+    ham_p = jnp.take_along_axis(ham_w, woff_c, axis=-1)
+    in_probe &= ham_p < _INF
+
+    cand_ids = table.ids[garange, pidx]                           # [Q,G,Pr,B]
+    cand_scores = jnp.broadcast_to(ham_p[..., None], cand_ids.shape)
 
     alive = cand_ids >= 0
     dead = tombstones[jnp.maximum(cand_ids, 0)] & alive
-    valid = probed[..., None] & alive & ~dead
+    valid = in_probe[..., None] & alive & ~dead
 
     flat_ids = jnp.where(valid, cand_ids, INT32_MAX).reshape(q, -1)
     flat_scores = jnp.where(valid, cand_scores, _INF).reshape(q, -1)

@@ -188,6 +188,10 @@ class ForwardSecureANNSystem:
                                             gtm.get(qi, k10))
                 self.metrics.record("query.server_ms", st.server_ns / 1e6)
                 self.metrics.record("query.decrypt_ms", st.decrypt_ns / 1e6)
+                if st.cand_raw > self.cfg.runtime.hard_cap:
+                    # fanout guard (reference -Dguard.fanout.warn,
+                    # ForwardSecureANNSystem.java:115)
+                    self.metrics.count("query.fanout_warn")
                 for k in ks:
                     self.profiler.record_row(QueryRow(
                         query_index=qi, k=k,

@@ -52,6 +52,7 @@ class ShardedIndex:
         self.base: jax.Array | None = None
         self.shard_rows = 0
         self.n = 0
+        self._steps: dict = {}   # jitted step cache per (probes, limit, k)
 
     # -- build ------------------------------------------------------------------
 
@@ -141,7 +142,11 @@ class ShardedIndex:
 
     def query(self, queries: np.ndarray, probes: int = 5,
               refinement_limit: int = 2048, k: int = 10):
-        step = jax.jit(self.query_step_fn(probes, refinement_limit, k))
+        key = (probes, refinement_limit, k)
+        step = self._steps.get(key)
+        if step is None:
+            step = jax.jit(self.query_step_fn(probes, refinement_limit, k))
+            self._steps[key] = step
         ids, dist = step(self.table, self.base,
                          jnp.asarray(queries, jnp.float32))
         return np.asarray(ids), np.asarray(dist)

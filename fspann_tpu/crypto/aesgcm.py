@@ -60,8 +60,21 @@ def _load() -> ctypes.CDLL:
             vp, sz, u32p, sz, u8p, u64p, u32, u32, u32, ctypes.c_uint64,
             u8p, u64p, u64p, u8p, u64p, u8p]
         lib.fspann_gcm_open_batch_rec.restype = ctypes.c_int
+        lib.fspann_crc32_rows.argtypes = [u8p, sz, sz, u32p]
         _LIB = lib
         return lib
+
+
+def crc32_rows(rows: np.ndarray) -> np.ndarray:
+    """zlib-compatible CRC32 of each row of a C-contiguous uint8 [n, L]
+    matrix — one C call instead of n zlib calls (record framing hot path)."""
+    lib = _load()
+    n, row_len = rows.shape
+    out = np.empty(n, np.uint32)
+    assert rows.flags.c_contiguous
+    lib.fspann_crc32_rows(_u8(rows.reshape(-1)), n, row_len,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
 
 
 def pack_contexts(keys: list["GcmKey"]):

@@ -393,3 +393,51 @@ int fspann_gcm_rekey_batch(const void *ctx_old_arr, size_t ctx_stride,
     }
     return failures;
 }
+
+/* ------------------------------------------------------------------ */
+/* Record framing helpers (arena/metadata log hot paths)               */
+/* ------------------------------------------------------------------ */
+
+/* Slice-by-4 CRC32 (zlib-compatible, reflected poly 0xEDB88320) over n
+ * fixed-length rows of a flat buffer — replaces n Python zlib calls in the
+ * arena batch-append path. */
+static uint32_t crc32_tab[4][256];
+static int crc32_init_done = 0;
+
+static void crc32_init(void) {
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc32_tab[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; i++) {
+        crc32_tab[1][i] = (crc32_tab[0][i] >> 8)
+            ^ crc32_tab[0][crc32_tab[0][i] & 0xff];
+        crc32_tab[2][i] = (crc32_tab[1][i] >> 8)
+            ^ crc32_tab[0][crc32_tab[1][i] & 0xff];
+        crc32_tab[3][i] = (crc32_tab[2][i] >> 8)
+            ^ crc32_tab[0][crc32_tab[2][i] & 0xff];
+    }
+    crc32_init_done = 1;
+}
+
+static uint32_t crc32_one(const uint8_t *p, size_t len) {
+    uint32_t c = 0xFFFFFFFFu;
+    while (len >= 4) {
+        c ^= (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+           | ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+        c = crc32_tab[3][c & 0xff] ^ crc32_tab[2][(c >> 8) & 0xff]
+          ^ crc32_tab[1][(c >> 16) & 0xff] ^ crc32_tab[0][c >> 24];
+        p += 4; len -= 4;
+    }
+    while (len--) c = crc32_tab[0][(c ^ *p++) & 0xff] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+void fspann_crc32_rows(const uint8_t *buf, size_t n, size_t row_len,
+                       uint32_t *out) {
+    if (!crc32_init_done) crc32_init();
+    for (size_t i = 0; i < n; i++)
+        out[i] = crc32_one(buf + i * row_len, row_len);
+}

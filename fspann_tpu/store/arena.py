@@ -72,13 +72,10 @@ class ArenaWriter:
         hdr[:, 16:20] = np.frombuffer(np.uint32(ct_len).tobytes(), np.uint8)
         hdr[:, 20:32] = ivs
         buf[:, _HDR.size:_HDR.size + ct_len] = ct_tag
-        # crc32 per record (header+payload) — C-speed via zlib on row views
-        body = buf[:, :_HDR.size + ct_len]
-        crcs = np.empty(n, "<u4")
-        rows = body.tobytes()
-        row_len = _HDR.size + ct_len
-        for i in range(n):
-            crcs[i] = zlib.crc32(rows[i * row_len:(i + 1) * row_len])
+        # per-record crc32 (header+payload) in one native call
+        from ..crypto.aesgcm import crc32_rows
+        body = np.ascontiguousarray(buf[:, :_HDR.size + ct_len])
+        crcs = crc32_rows(body).astype("<u4")
         buf[:, -4:] = crcs.view(np.uint8).reshape(n, 4)
         offs = self.offset + np.arange(n, dtype=np.int64) * rec_len
         self._f.write(buf.tobytes())

@@ -92,6 +92,9 @@ class QueryService:
         return batch.results(0)
 
     def search_batch(self, tokens: list[QueryToken]) -> BatchSearchResult:
+        if not tokens:
+            return BatchSearchResult(np.zeros((0, 0), np.int64),
+                                     np.zeros((0, 0), np.float32))
         return self.search_batches([tokens])[0]
 
     def search_batches(self, batches: list[list[QueryToken]]

@@ -93,9 +93,10 @@ def main(argv=None) -> int:
                                          k=system.cfg.eval.max_k)
 
         eval_queries = queries
-        if args.decoys:
+        if args.decoys or cfg.cloak.enabled:
             from ..query.decoy import DecoyGenerator
-            gen = DecoyGenerator(dim)
+            gen = DecoyGenerator(dim, rate=cfg.cloak.rate,
+                                 seed=cfg.cloak.seed, mode=cfg.cloak.mode)
             eval_queries, real_mask = gen.interleave(queries)
             print(f"decoys: {len(eval_queries) - len(queries)} injected",
                   file=sys.stderr)

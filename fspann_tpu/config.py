@@ -120,6 +120,17 @@ class ReencryptionConfig:
 
 
 @dataclass(frozen=True)
+class CloakConfig:
+    """Access-pattern decoys (reference SystemConfig CloakConfig +
+    -Ddecoy.* flags, ForwardSecureANNSystem.java:172-183)."""
+
+    enabled: bool = False
+    rate: float = 0.3
+    mode: str = "gaussian"     # gaussian | uniform | clustered
+    seed: int = 1789
+
+
+@dataclass(frozen=True)
 class KeyConfig:
     ops_threshold: int = 1_000_000_000
     age_threshold_ms: int = 999_999_999_999
@@ -139,6 +150,7 @@ class SystemConfig:
     eval: EvalConfig = field(default_factory=EvalConfig)
     ratio: RatioConfig = field(default_factory=RatioConfig)
     reencryption: ReencryptionConfig = field(default_factory=ReencryptionConfig)
+    cloak: CloakConfig = field(default_factory=CloakConfig)
     keys: KeyConfig = field(default_factory=KeyConfig)
     output: OutputConfig = field(default_factory=OutputConfig)
     profile_name: str = ""
@@ -168,6 +180,7 @@ _BLOCK_TYPES: dict[str, type] = {
     "eval": EvalConfig,
     "ratio": RatioConfig,
     "reencryption": ReencryptionConfig,
+    "cloak": CloakConfig,
     "keys": KeyConfig,
     "output": OutputConfig,
 }

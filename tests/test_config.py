@@ -87,3 +87,14 @@ def test_all_bundled_configs_parse():
         for name in data.get("profiles", {}):
             cfg = load_config(path, name)
             cfg.paper.validate()
+
+
+def test_cloak_config_block(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({
+        "cloak": {"enabled": True, "rate": 0.5, "mode": "uniform"},
+    }))
+    cfg = load_config(str(p))
+    assert cfg.cloak.enabled and cfg.cloak.rate == 0.5
+    assert cfg.cloak.mode == "uniform"
+    assert not SystemConfig().cloak.enabled   # default off

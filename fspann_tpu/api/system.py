@@ -60,7 +60,8 @@ class ForwardSecureANNSystem:
             self.km, self.store,
             RotationPolicy(cfg.keys.ops_threshold, cfg.keys.age_threshold_ms))
         self.index = PartitionedIndex(
-            cfg, dim, bank_path=os.path.join(base_dir, "bank.npz"))
+            cfg, dim, bank_path=os.path.join(base_dir, "bank.npz"),
+            table_path=os.path.join(base_dir, "table.npz"))
         self.tokens = QueryTokenFactory(self.index, self.km, dim)
         self.tracker = ReencryptionTracker()
         self.query_service = QueryService(self.index, self.store, self.km,
@@ -266,14 +267,20 @@ class ForwardSecureANNSystem:
     # -- RESTORE ------------------------------------------------------------------
 
     def restore_index_from_disk(self) -> int:
-        """Rebuild routing state by decrypting every live point and
-        re-encoding on device (reference restoreIndexFromDisk:926-948), then
+        """Restore routing state: the fast path loads the persisted partition
+        table (deterministic given data+config); otherwise decrypt every live
+        point and re-encode (reference restoreIndexFromDisk:926-948).  Then
         pin the persisted index version (activateVersion, query-only)."""
-        n = 0
-        for ids, vecs in self.store.restore_iter():
-            self.index.stage(ids, vecs)
-            n += len(ids)
-        self.index.finalize()
+        live = len(self.store.meta)
+        if self.index.load_table(os.path.join(self.base_dir, "table.npz"),
+                                 expect_rows=live):
+            n = live
+        else:
+            n = 0
+            for ids, vecs in self.store.restore_iter():
+                self.index.stage(ids, vecs)
+                n += len(ids)
+            self.index.finalize()
         saved = self.store.meta.index_version
         if saved:
             self.rotation.activate_version(min(saved, self.km.current_version))

@@ -37,10 +37,12 @@ class PartitionedIndex:
     SAMPLE_THRESHOLD = 1000   # reference PartitionedIndexService.java:50-51
 
     def __init__(self, cfg: SystemConfig, dim: int,
-                 bank_path: str | None = None):
+                 bank_path: str | None = None,
+                 table_path: str | None = None):
         self.cfg = cfg
         self.dim = dim
         self.bank_path = bank_path
+        self.table_path = table_path
         self.bank: coding.GBank | None = None
         self.frozen = False
         self.table: PartitionTable | None = None
@@ -194,6 +196,8 @@ class PartitionedIndex:
         self._codes.clear(); self._keys.clear(); self._ids.clear()
         self.frozen = True
         self._tombstones_dirty = True
+        if self.table_path:
+            self.save_table(self.table_path)
 
     # -- deletion ---------------------------------------------------------------------
 
@@ -257,3 +261,50 @@ class PartitionedIndex:
     def size(self) -> int:
         return (self._n_rows if self.frozen else self._staged) \
             - len(self._deleted)
+
+    # -- table checkpoint ---------------------------------------------------------
+
+    def save_table(self, path: str) -> None:
+        """Persist the frozen partition table — the fast-restore path.  The
+        reference rebuilds routing state by decrypting every ciphertext
+        (restoreIndexFromDisk:926-948); the table is deterministic given the
+        data, so persisting it skips that work.  Tagged with the config so a
+        mismatched profile falls back to the rebuild path."""
+        t = self.table
+        pp = self.cfg.paper
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        np.savez(tmp,
+                 min_key=np.asarray(t.min_key), max_key=np.asarray(t.max_key),
+                 rep_codes=np.asarray(t.rep_codes), ids=np.asarray(t.ids),
+                 counts=np.asarray(t.counts), row_ids=self._row_ids,
+                 dense=self._dense, n_rows=self._n_rows, dim=self.dim,
+                 m=pp.m, lam=pp.lam, tables=pp.tables,
+                 divisions=pp.divisions, seed=pp.seed,
+                 block=self.cfg.runtime.block_size)
+        os.replace(tmp + ".npz", path)
+
+    def load_table(self, path: str, expect_rows: int | None = None) -> bool:
+        """Fast restore: load a persisted table.  Returns False (caller does
+        the decrypt-and-rebuild) when config or corpus shape disagree."""
+        if not os.path.exists(path) or self.bank is None:
+            return False
+        z = np.load(path)
+        pp = self.cfg.paper
+        if (int(z["dim"]), int(z["m"]), int(z["lam"]), int(z["tables"]),
+                int(z["divisions"]), int(z["seed"]),
+                int(z["block"])) != (self.dim, pp.m, pp.lam, pp.tables,
+                                     pp.divisions, pp.seed,
+                                     self.cfg.runtime.block_size):
+            return False
+        if expect_rows is not None and int(z["n_rows"]) != expect_rows:
+            return False
+        self.table = jax.device_put(PartitionTable(
+            z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),
+            z["ids"].astype(np.int32), z["counts"].astype(np.int32)))
+        self._row_ids = z["row_ids"].astype(np.int64)
+        self._dense = bool(z["dense"])
+        self._n_rows = int(z["n_rows"])
+        self.frozen = True
+        self._tombstones_dirty = True
+        return True

@@ -251,3 +251,54 @@ def test_cpu_encode_backend_equivalent(tmp_path, corpus):
         assert agg.recall_at_k[10] > 0.9
     finally:
         sys_.shutdown()
+
+
+def test_fast_restore_from_table(tmp_path, corpus):
+    """Fast restore loads the persisted partition table (no decrypt-all) and
+    reproduces results exactly; a config change falls back to the rebuild."""
+    import os
+    import dataclasses
+    base, queries = corpus
+    sys1 = make_system(tmp_path)
+    sys1.index_stream(base, batch_size=500)
+    sys1.finalize_for_search()
+    res1 = sys1.search(sys1.create_token(queries[0], 10))
+    sys1.shutdown()
+    assert os.path.exists(str(tmp_path / "sys" / "table.npz"))
+
+    sys2 = make_system(tmp_path)
+    try:
+        n = sys2.restore_index_from_disk()
+        assert n == N
+        # fast path: nothing was staged (no decrypt-all happened)
+        assert sys2.index._staged == 0
+        res2 = sys2.search(sys2.create_token(queries[0], 10))
+        assert [r.id for r in res1] == [r.id for r in res2]
+    finally:
+        sys2.shutdown()
+
+    # mismatched profile -> falls back to decrypt-and-rebuild
+    cfg3 = small_cfg(probe_override=2)
+    cfg3 = dataclasses.replace(
+        cfg3, paper=dataclasses.replace(cfg3.paper, seed=99))
+    sys3 = ForwardSecureANNSystem(cfg3, str(tmp_path / "sys3"), DIM,
+                                  query_batch=8)
+    try:
+        sys3.index_stream(base, batch_size=500)
+        sys3.finalize_for_search()
+        sys3.shutdown()
+        # reopen with a DIFFERENT block size: table must be rejected
+        cfg4 = dataclasses.replace(
+            cfg3, runtime=dataclasses.replace(cfg3.runtime, block_size=16))
+        sys4 = ForwardSecureANNSystem(cfg4, str(tmp_path / "sys3"), DIM,
+                                      query_batch=8)
+        try:
+            # bank hyperparams match so the bank loads; table is rejected by
+            # block-size mismatch -> slow path re-stages everything
+            n = sys4.restore_index_from_disk()
+            assert n == N
+            assert sys4.index._n_rows == N
+        finally:
+            sys4.shutdown()
+    finally:
+        pass

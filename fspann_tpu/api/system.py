@@ -271,10 +271,13 @@ class ForwardSecureANNSystem:
         table (deterministic given data+config); otherwise decrypt every live
         point and re-encode (reference restoreIndexFromDisk:926-948).  Then
         pin the persisted index version (activateVersion, query-only)."""
-        live = len(self.store.meta)
+        dead = self.store.meta.tombstoned_ids()
+        total_rows = len(self.store.meta) + len(dead)
         if self.index.load_table(os.path.join(self.base_dir, "table.npz"),
-                                 expect_rows=live):
-            n = live
+                                 expect_rows=total_rows):
+            n = len(self.store.meta)
+            if len(dead):
+                self.index.mark_deleted(dead)
         else:
             n = 0
             for ids, vecs in self.store.restore_iter():

@@ -186,6 +186,9 @@ class MetadataLog:
     def live_ids(self) -> np.ndarray:
         return np.flatnonzero(self._kv > 0)
 
+    def tombstoned_ids(self) -> np.ndarray:
+        return np.flatnonzero(self._kv < 0)
+
     def stale_ids(self, current_version: int) -> np.ndarray:
         """Live ids bound to a version below current (background migration)."""
         return np.flatnonzero((self._kv > 0) & (self._kv < current_version))

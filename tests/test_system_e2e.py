@@ -302,3 +302,23 @@ def test_fast_restore_from_table(tmp_path, corpus):
             sys4.shutdown()
     finally:
         pass
+
+
+def test_fast_restore_reseeds_tombstones(tmp_path, corpus):
+    base, queries = corpus
+    sys1 = make_system(tmp_path)
+    sys1.index_stream(base, batch_size=500)
+    sys1.finalize_for_search()
+    victim = sys1.search(sys1.create_token(queries[0], 5))[0].id
+    sys1.delete([victim])
+    sys1.shutdown()
+
+    sys2 = make_system(tmp_path)
+    try:
+        sys2.restore_index_from_disk()
+        assert sys2.index._staged == 0            # fast path taken
+        assert victim in sys2.index._deleted      # tombstones reseeded
+        res = sys2.search(sys2.create_token(queries[0], 5))
+        assert victim not in [r.id for r in res]
+    finally:
+        sys2.shutdown()

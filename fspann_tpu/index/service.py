@@ -156,7 +156,9 @@ class PartitionedIndex:
 
     def finalize(self) -> None:
         """Flush pending staging, build partitions on device, freeze
-        (reference finalizeForSearch:789-845)."""
+        (reference finalizeForSearch:789-845).  Idempotent once frozen."""
+        if self.frozen:
+            return
         if self._pending_vecs:   # corpus smaller than the sample threshold
             sample = np.concatenate(self._pending_vecs)
             if self.bank is None:

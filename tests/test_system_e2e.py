@@ -322,3 +322,38 @@ def test_fast_restore_reseeds_tombstones(tmp_path, corpus):
         assert victim not in [r.id for r in res]
     finally:
         sys2.shutdown()
+
+
+def test_finalize_idempotent(tmp_path, corpus):
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        sys_.finalize_for_search()   # no-op, no error
+        assert sys_.index.size == N
+    finally:
+        sys_.shutdown()
+
+
+def test_token_under_deleted_key_version_rejected(tmp_path, corpus):
+    """A query token encrypted under a securely deleted key version cannot
+    be served (forward security applies to tokens too)."""
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        old_tok = sys_.create_token(queries[0], 5)      # under v1
+        # migrate everything off v1 and delete it
+        sys_.rotation.force_rotate_now()
+        sys_.store.reencrypt_all()
+        sys_.rotation.force_rotate_now()
+        assert sys_.rotation.finalize_rotation() == [1]
+        with pytest.raises(ValueError, match="tag verification"):
+            sys_.search(old_tok)
+        # fresh tokens still work
+        res = sys_.search(sys_.create_token(queries[0], 5))
+        assert len(res) == 5
+    finally:
+        sys_.shutdown()

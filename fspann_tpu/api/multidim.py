@@ -78,6 +78,17 @@ class MultiDimSystem:
             out["per_dim"][dim] = row
         return out
 
+    def restore_all(self) -> dict[int, int]:
+        """Discover per-dimension stores on disk (d<dim>/ subdirs) and
+        restore each (reference query-only mode across DimensionStates)."""
+        restored = {}
+        for name in sorted(os.listdir(self.base_dir)):
+            if not (name.startswith("d") and name[1:].isdigit()):
+                continue
+            dim = int(name[1:])
+            restored[dim] = self.system_for(dim).restore_index_from_disk()
+        return restored
+
     def shutdown(self) -> None:
         for sys_ in self._systems.values():
             sys_.shutdown()

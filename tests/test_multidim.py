@@ -42,3 +42,24 @@ def test_two_dims_share_keys(tmp_path, rng):
         assert md.search(md.create_token(v16[5], 1))[0].id == 5
     finally:
         md.shutdown()
+
+
+def test_multidim_restore_all(tmp_path, rng):
+    md = MultiDimSystem(small_cfg(), str(tmp_path / "db"))
+    v8 = rng.normal(size=(1100, 8)).astype(np.float32)
+    v16 = rng.normal(size=(1100, 16)).astype(np.float32)
+    md.batch_insert(np.arange(1100), v8)
+    md.batch_insert(np.arange(1100), v16)
+    md.finalize_for_search()
+    t8 = md.create_token(v8[3], 1)
+    r1 = md.search(t8)[0].id
+    md.shutdown()
+
+    md2 = MultiDimSystem(small_cfg(), str(tmp_path / "db"))
+    try:
+        restored = md2.restore_all()
+        assert restored == {8: 1100, 16: 1100}
+        assert md2.search(md2.create_token(v8[3], 1))[0].id == r1
+        assert md2.search(md2.create_token(v16[5], 1))[0].id == 5
+    finally:
+        md2.shutdown()

@@ -130,6 +130,14 @@ class ForwardSecureANNSystem:
         self.index.mark_deleted(ids)
         self._cache_gen += 1
 
+    def undelete(self, ids) -> None:
+        """Reverse a logical deletion (possible until compaction/retire)."""
+        self.store.undelete(ids)
+        for pid in np.atleast_1d(np.asarray(ids)):
+            self.index._deleted.discard(int(pid))
+        self.index._tombstones_dirty = True
+        self._cache_gen += 1
+
     # -- QUERY ---------------------------------------------------------------
 
     def create_token(self, query: np.ndarray, top_k: int) -> QueryToken:

@@ -164,6 +164,14 @@ class PointStore:
             self.meta.tombstone(int(pid))
         self.meta.flush()
 
+    @_locked
+    def undelete(self, ids) -> None:
+        """Clear tombstones (the ciphertext was never removed — deletion
+        is logical until the arena compacts/retires)."""
+        for pid in np.atleast_1d(np.asarray(ids)):
+            self.meta.undelete(int(pid))
+        self.meta.flush()
+
     # -- reads -----------------------------------------------------------------
 
     @_locked

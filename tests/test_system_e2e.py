@@ -357,3 +357,20 @@ def test_token_under_deleted_key_version_rejected(tmp_path, corpus):
         assert len(res) == 5
     finally:
         sys_.shutdown()
+
+
+def test_undelete_restores_visibility(tmp_path, corpus):
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        victim = sys_.search(sys_.create_token(queries[0], 5))[0].id
+        sys_.delete([victim])
+        assert victim not in [r.id for r in
+                              sys_.search(sys_.create_token(queries[0], 5))]
+        sys_.undelete([victim])
+        res = sys_.search(sys_.create_token(queries[0], 5))
+        assert res[0].id == victim
+    finally:
+        sys_.shutdown()

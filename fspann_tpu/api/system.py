@@ -333,6 +333,19 @@ class ForwardSecureANNSystem:
             f.write(agg.paper_line() + "\n")
             f.write(f"generated_at={time.strftime('%Y-%m-%dT%H:%M:%S')}\n")
 
+    def compact_storage(self) -> dict:
+        """Housekeeping: compact the metadata log and every live version's
+        arena (reclaims re-encryption garbage; reference defers per-point
+        file cleanup instead).  Logical deletions older than this point
+        become permanent."""
+        freed = 0
+        for kv in sorted(self.store.meta.live_versions()):
+            freed += self.store.compact_version(kv)
+        self.store.meta.compact()
+        self._cache_gen += 1
+        return {"bytes_freed": freed,
+                "storage_bytes": self.store.size_bytes()}
+
     def flush_all(self) -> None:
         if len(self.insert_buffer):
             # raises if the index is already frozen — surfacing the misuse

@@ -134,3 +134,29 @@ def test_stage_after_finalize_raises(tmp_path, rng):
                               rng.normal(size=(1, DIM)).astype(np.float32))
     finally:
         sys_.shutdown()
+
+
+def test_compact_storage_and_undelete_window(tmp_path, rng):
+    """compact_storage reclaims re-encryption garbage; undelete works before
+    compaction and degrades gracefully (ok=False, no crash) after it."""
+    sys_ = ForwardSecureANNSystem(cfg(), str(tmp_path / "db"), DIM)
+    try:
+        vecs = rng.normal(size=(1100, DIM)).astype(np.float32)
+        sys_.index_stream(vecs, batch_size=600)
+        sys_.finalize_for_search()
+        sys_.rotation.force_rotate_now()
+        sys_.store.reencrypt_ids(np.arange(500))
+        sys_.delete([7])
+        before = sys_.store.size_bytes()
+        rep = sys_.compact_storage()
+        assert rep["bytes_freed"] > 0
+        assert sys_.store.size_bytes() < before
+        # everything live still decrypts
+        out, ok = sys_.store.load_decrypt_batch(np.arange(1100))
+        assert ok.sum() == 1099 and not ok[7]
+        # undelete after compaction: record is gone -> graceful failure
+        sys_.undelete([7])
+        out2, ok2 = sys_.store.load_decrypt_batch(np.array([7]))
+        assert not ok2[0]
+    finally:
+        sys_.shutdown()

@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-batch", type=int, default=64)
     p.add_argument("--query-only", action="store_true",
                    help="restore index from disk; no (re)indexing")
+    p.add_argument("--restore-version", type=int, default=None,
+                   help="pin an explicit key version on restore (reference "
+                        "-Drestore.version); default: latest persisted")
     p.add_argument("--no-reencrypt", action="store_true",
                    help="skip the end-of-run selective re-encryption")
     p.add_argument("--decoys", action="store_true",
@@ -61,7 +64,7 @@ def main(argv=None) -> int:
     try:
         base = None
         if args.query_only:
-            n = system.restore_index_from_disk()
+            n = system.restore_index_from_disk(version=args.restore_version)
             print(f"restored {n} points "
                   f"(key version pinned at {system.rotation.pinned_version})",
                   file=sys.stderr)

@@ -35,14 +35,13 @@ class MultiDimSystem:
         sys_ = self._systems.get(dim)
         if sys_ is None:
             sub = os.path.join(self.base_dir, f"d{dim}")
+            # constructor-inject the shared keystore: every sub-component
+            # (store, rotation, background daemon, token factory) captures
+            # the one KeyManager at construction — nothing to re-point, no
+            # component can be left holding a throwaway keystore
             sys_ = ForwardSecureANNSystem(self.cfg, sub, dim,
-                                          self.query_batch)
-            # swap in the shared keystore
-            sys_.km = self.km
-            sys_.store.km = self.km
-            sys_.rotation.km = self.km
-            sys_.tokens.km = self.km
-            sys_.query_service.km = self.km
+                                          self.query_batch,
+                                          key_manager=self.km)
             self._systems[dim] = sys_
         return sys_
 

@@ -43,7 +43,12 @@ from ..utils.storage_metrics import StorageMetrics
 
 class ForwardSecureANNSystem:
     def __init__(self, cfg: SystemConfig | str, base_dir: str, dim: int,
-                 query_batch: int = 64):
+                 query_batch: int = 64,
+                 key_manager: KeyManager | None = None):
+        """``key_manager`` injects a shared keystore (MultiDimSystem: one
+        keystore across per-dimension sub-systems, reference DimensionState
+        wiring ForwardSecureANNSystem.java:360-375).  Every component below
+        captures the SAME instance at construction — no post-hoc swapping."""
         if isinstance(cfg, str):
             cfg = load_config(cfg)
         self.cfg = cfg
@@ -52,8 +57,9 @@ class ForwardSecureANNSystem:
         self.query_batch = query_batch
         os.makedirs(base_dir, exist_ok=True)
 
-        self.km = KeyManager(os.path.join(base_dir, "keystore.blob"),
-                             retention_max=cfg.keys.retention_max)
+        self.km = key_manager if key_manager is not None else KeyManager(
+            os.path.join(base_dir, "keystore.blob"),
+            retention_max=cfg.keys.retention_max)
         self.store = PointStore(base_dir, self.km, dim,
                                 dtype=cfg.runtime.storage_dtype)
         self.rotation = KeyRotationService(
@@ -78,11 +84,13 @@ class ForwardSecureANNSystem:
             self.rotation, self.storage_metrics, self.metrics,
             csv_path=os.path.join(base_dir, "reencrypt_metrics.csv"))
         self.insert_buffer = BufferedInserter(self._sink_batch, dim)
+        if cfg.reencryption.enabled and cfg.reencryption.mode == "immediate":
+            self.query_service.on_touched = self._migrate_touched_now
         self.background = None
         if cfg.reencryption.background_enabled:
             self.background = BackgroundReencryption(
                 self.rotation, cfg.reencryption.background_interval_s,
-                cfg.reencryption.background_batch)
+                cfg.reencryption.background_batch, metrics=self.metrics)
             self.background.start()
 
     # -- INDEX ---------------------------------------------------------------
@@ -130,13 +138,16 @@ class ForwardSecureANNSystem:
         self.index.mark_deleted(ids)
         self._cache_gen += 1
 
-    def undelete(self, ids) -> None:
-        """Reverse a logical deletion (possible until compaction/retire)."""
-        self.store.undelete(ids)
-        for pid in np.atleast_1d(np.asarray(ids)):
+    def undelete(self, ids) -> list[int]:
+        """Reverse a logical deletion (possible until compaction/retire).
+        Only ids the store could actually restore — backing ciphertext and
+        key still present — become routable again; the rest stay deleted."""
+        restored = self.store.undelete(ids)
+        for pid in restored:
             self.index._deleted.discard(int(pid))
         self.index._tombstones_dirty = True
         self._cache_gen += 1
+        return restored
 
     # -- QUERY ---------------------------------------------------------------
 
@@ -146,8 +157,9 @@ class ForwardSecureANNSystem:
     def search(self, token: QueryToken):
         if self.background:
             self.background.note_query()
-        cache_key = (self._cache_gen, bytes(token.codes.tobytes()),
-                     token.top_k)
+        # keyed by the query digest (plaintext identity), NOT the LSH codes —
+        # distinct nearby queries share codes by design and must not alias
+        cache_key = (self._cache_gen, token.cache_key, token.top_k)
         hit = self.query_cache.get(cache_key)
         if hit is not None:
             self.metrics.count("query.cache_hits")
@@ -256,6 +268,19 @@ class ForwardSecureANNSystem:
 
     # -- S-R.E (forward security) ----------------------------------------------
 
+    def _migrate_touched_now(self, ids) -> None:
+        """``reenc.mode=immediate`` (reference ForwardSecureANNSystem.java:122,
+        1345-1360): migrate each search batch's touched set to the current
+        key version right after the batch, instead of deferring to the
+        end-of-run pass.  When everything touched is already current this is
+        one vectorized metadata lookup — bounded per-query overhead."""
+        rep = self.rotation.reencrypt_touched(ids)
+        if rep.reencrypted:
+            self.metrics.count("reencryption.immediate_migrated",
+                               rep.reencrypted)
+        # nothing left for the end-of-run pass
+        self.tracker.drain()
+
     def run_selective_reencryption(self) -> dict:
         """End-of-run pass (reference runSelectiveReencryptionIfNeeded:1739):
         force one rotation, drain the touched set, migrate, report."""
@@ -274,11 +299,15 @@ class ForwardSecureANNSystem:
 
     # -- RESTORE ------------------------------------------------------------------
 
-    def restore_index_from_disk(self) -> int:
+    def restore_index_from_disk(self, version: int | None = None) -> int:
         """Restore routing state: the fast path loads the persisted partition
         table (deterministic given data+config); otherwise decrypt every live
-        point and re-encode (reference restoreIndexFromDisk:926-948).  Then
-        pin the persisted index version (activateVersion, query-only)."""
+        point and re-encode (reference restoreIndexFromDisk:926-948).
+
+        ``version`` pins an EXPLICIT key version (reference
+        ``-Drestore.version``, ForwardSecureANNSystem.java:950-962) — it must
+        still be live (not securely deleted); otherwise the latest persisted
+        index version is detected and pinned (:1998-2005)."""
         dead = self.store.meta.tombstoned_ids()
         total_rows = len(self.store.meta) + len(dead)
         if self.index.load_table(os.path.join(self.base_dir, "table.npz"),
@@ -292,9 +321,13 @@ class ForwardSecureANNSystem:
                 self.index.stage(ids, vecs)
                 n += len(ids)
             self.index.finalize()
-        saved = self.store.meta.index_version
-        if saved:
-            self.rotation.activate_version(min(saved, self.km.current_version))
+        if version is not None:
+            self.rotation.activate_version(version)  # raises if deleted
+        else:
+            saved = self.store.meta.index_version
+            if saved:
+                self.rotation.activate_version(
+                    min(saved, self.km.current_version))
         return n
 
     # -- EXPORT / SHUTDOWN ----------------------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -149,26 +150,37 @@ class BackgroundReencryption:
     query load, thread-based like the reference's ScheduledExecutorService."""
 
     def __init__(self, svc: KeyRotationService, interval_s: float = 5.0,
-                 batch: int = 2_000, load_shed_qps: float = 50.0):
+                 batch: int = 2_000, load_shed_qps: float = 50.0,
+                 metrics=None):
         self.svc = svc
         self.interval_s = interval_s
         self.batch = batch
         self.load_shed_qps = load_shed_qps
-        self._recent_queries: list[float] = []
+        # QPS window: a locked deque — note_query is called from query
+        # threads while _loop reads, so the structure must be mutated under
+        # a lock (the reference used a ScheduledExecutorService + atomics)
+        self._recent_queries: deque[float] = deque()
+        self._qlock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.migrated_total = 0
         self.passes = 0
+        self.errors = 0
+        self.metrics = metrics   # optional MetricsRegistry
 
     def note_query(self) -> None:
         now = time.time()
-        self._recent_queries.append(now)
-        self._recent_queries = [t for t in self._recent_queries
-                                if now - t < 1.0]
+        with self._qlock:
+            self._recent_queries.append(now)
+            while self._recent_queries and now - self._recent_queries[0] >= 1.0:
+                self._recent_queries.popleft()
 
     def _qps(self) -> float:
         now = time.time()
-        return sum(1 for t in self._recent_queries if now - t < 1.0)
+        with self._qlock:
+            while self._recent_queries and now - self._recent_queries[0] >= 1.0:
+                self._recent_queries.popleft()
+            return float(len(self._recent_queries))
 
     def run_once(self) -> int:
         """One migration pass: sample stale ids below current version."""
@@ -190,7 +202,11 @@ class BackgroundReencryption:
             try:
                 self.run_once()
             except Exception:   # noqa: BLE001 — daemon must not die
-                pass
+                # ...but failures must not be invisible either: surface a
+                # counter the operator can alarm on
+                self.errors += 1
+                if self.metrics is not None:
+                    self.metrics.count("reencryption.background_errors")
 
     def start(self) -> None:
         if self._thread is None:

@@ -84,6 +84,10 @@ class QueryService:
         self.cfg = cfg
         self.tracker = tracker
         self.last_stats: list[SearchStats] = []
+        # Optional per-batch hook fed the batch's unique touched ids —
+        # the facade wires immediate selective re-encryption through it
+        # (reference reenc.mode=immediate, ForwardSecureANNSystem.java:1345)
+        self.on_touched = None
 
     # -- public ------------------------------------------------------------------
 
@@ -145,12 +149,17 @@ class QueryService:
         total = time.perf_counter() - t_start
         for s in stats:
             s.server_ns = int(total * 1e9 / len(tokens))
-        if self.tracker is not None and touched_parts:
+        if touched_parts and (self.tracker is not None
+                              or self.on_touched is not None):
             # every successfully DECRYPTED candidate is "touched" (reference
             # QueryServiceImpl.java:263 adds each scored id, recorded in the
             # finally block :342-351) — the selective re-encryption set, not
             # merely the returned top-K
-            self.tracker.record(np.unique(np.concatenate(touched_parts)))
+            touched = np.unique(np.concatenate(touched_parts))
+            if self.tracker is not None:
+                self.tracker.record(touched)
+            if self.on_touched is not None:
+                self.on_touched(touched)
         self.last_stats = stats
         return BatchSearchResult(ids, dists, stats)
 

@@ -8,6 +8,7 @@ query vector AES-GCM-encrypted under the current key with a fresh IV
 
 from __future__ import annotations
 
+import hashlib
 import secrets
 
 import numpy as np
@@ -48,9 +49,11 @@ class QueryTokenFactory:
         out = []
         for i in range(len(queries)):
             iv = secrets.token_bytes(12)
-            ct = gcm.seal(iv, queries[i].astype("<f4").tobytes())
+            pt = queries[i].astype("<f4").tobytes()
+            ct = gcm.seal(iv, pt)
             out.append(QueryToken(
                 codes=qc[i], keys=qk[i], iv=iv, encrypted_query=ct,
                 top_k=top_k, dimension=self.dim, key_version=kv,
-                num_tables=bank.tables, lam=bank.lam))
+                num_tables=bank.tables, lam=bank.lam,
+                query_digest=hashlib.blake2b(pt, digest_size=16).digest()))
         return out

@@ -40,6 +40,26 @@ _KIND_UNDELETE = 4
 # 10M-record replay ~100x faster and the log ~2x smaller.
 _KIND_BLOCK_PUT = 5
 _BLOCK_HDR = struct.Struct("<BIIIq")   # kind, count, key_version, dim, rsvd
+# Purge: fully remove an id (live OR tombstoned).  Emitted when a
+# compaction drops a tombstoned record's ciphertext, so undelete can never
+# resurrect metadata whose backing bytes are gone (a resurrected stale
+# offset would feed an out-of-bounds read into the native GCM open).
+_KIND_PURGE = 6
+# Compaction commit: ONE crc-framed record carrying both the rewritten
+# offsets and the new arena epoch.  Header reuses _BLOCK_HDR with the rsvd
+# field = epoch.  Atomicity matters: offsets and epoch must move together —
+# a torn record leaves the old (arena file, offsets) pair fully intact.
+_KIND_COMPACT_BLOCK = 7
+
+
+def _dedup_keep_last(pids: np.ndarray, offsets: np.ndarray):
+    """Drop duplicate ids keeping the last occurrence, order preserved."""
+    if len(pids) == len(np.unique(pids)):
+        return pids, offsets
+    n = len(pids)
+    _, first_of_rev = np.unique(pids[::-1], return_index=True)
+    sel = np.sort(n - 1 - first_of_rev)
+    return pids[sel], offsets[sel]
 
 
 @dataclass
@@ -55,6 +75,9 @@ class MetadataLog:
         self.path = path
         self.index_version: int = 0
         self._version_counts: dict[int, int] = {}
+        # arena epoch per key version: bumped by each compaction commit;
+        # 0 = the original v{kv}.arena file
+        self.arena_epochs: dict[int, int] = {}
         self._cap = capacity
         # key_version: 0 = absent, >0 = live, <0 = tombstoned (-kv)
         self._kv = np.zeros(capacity, np.int32)
@@ -104,9 +127,12 @@ class MetadataLog:
         self._apply_put(pid, key_version, dim, arena_off)
 
     def put_batch(self, pids, key_version: int, dim: int, offsets) -> None:
-        """Vectorized batch put: ONE block frame with a single batch CRC."""
+        """Vectorized batch put: ONE block frame with a single batch CRC.
+        Duplicate ids keep the LAST occurrence (the later arena record wins,
+        matching per-record put semantics)."""
         pids = np.asarray(pids, np.int64)
         offsets = np.asarray(offsets, np.int64)
+        pids, offsets = _dedup_keep_last(pids, offsets)
         n = len(pids)
         if n == 0:
             return
@@ -118,6 +144,12 @@ class MetadataLog:
         self._apply_put_block(pids, key_version, dim, offsets)
 
     def _apply_put_block(self, pids, key_version, dim, offsets) -> None:
+        if len(pids) == 0:
+            return
+        # defensive dedup (replay of frames written before dedup existed):
+        # without it a duplicated id double-counts _version_counts and the
+        # version then never drains to 0, blocking secure key deletion
+        pids, offsets = _dedup_keep_last(pids, offsets)
         self._grow(int(pids.max()))
         prev = self._kv[pids]
         for v, c in zip(*np.unique(prev[prev > 0], return_counts=True)):
@@ -142,6 +174,40 @@ class MetadataLog:
         self._append(_KIND_UNDELETE, pid, 0, 0, 0)
         self._kv[pid] = -self._kv[pid]
         self._bump(int(self._kv[pid]), +1)
+
+    def purge(self, pid: int) -> None:
+        """Remove an id entirely (live or tombstoned) — unlike tombstone,
+        a purge is irreversible: undelete of a purged id is a no-op."""
+        pid = int(pid)
+        if pid >= self._cap or self._kv[pid] == 0:
+            return
+        self._append(_KIND_PURGE, pid, 0, 0, 0)
+        if self._kv[pid] > 0:
+            self._bump(int(self._kv[pid]), -1)
+        self._kv[pid] = 0
+        self._off[pid] = -1
+
+    def arena_epoch(self, kv: int) -> int:
+        return self.arena_epochs.get(int(kv), 0)
+
+    def commit_compaction(self, kv: int, dim: int, pids, offsets,
+                          epoch: int) -> None:
+        """Atomically commit a compacted arena: rewritten offsets + the new
+        arena epoch in ONE crc-framed record.  Until this record is durable
+        the old (file, offsets) pair remains the truth; after it, the new
+        pair is — there is no window where they mix."""
+        pids = np.asarray(pids, np.int64)
+        offsets = np.asarray(offsets, np.int64)
+        hdr = _BLOCK_HDR.pack(_KIND_COMPACT_BLOCK, len(pids), kv, dim, epoch)
+        payload = (pids.astype("<u4").tobytes()
+                   + offsets.astype("<i8").tobytes())
+        crc = zlib.crc32(payload, zlib.crc32(hdr))
+        self._f.write(hdr + payload + struct.pack("<I", crc))
+        self._apply_compact(pids, kv, dim, offsets, epoch)
+
+    def _apply_compact(self, pids, kv, dim, offsets, epoch) -> None:
+        self._apply_put_block(pids, kv, dim, offsets)
+        self.arena_epochs[int(kv)] = int(epoch)
 
     def save_index_version(self, version: int) -> None:
         self._append(_KIND_INDEX_VERSION, version, 0, 0, 0)
@@ -189,6 +255,17 @@ class MetadataLog:
     def tombstoned_ids(self) -> np.ndarray:
         return np.flatnonzero(self._kv < 0)
 
+    def tombstoned_version(self, pid: int) -> int | None:
+        """Key version a tombstoned id is still bound to (None if not
+        tombstoned) — the undelete-validation hook."""
+        pid = int(pid)
+        if 0 <= pid < self._cap and self._kv[pid] < 0:
+            return int(-self._kv[pid])
+        return None
+
+    def tombstoned_with_version(self, kv: int) -> np.ndarray:
+        return np.flatnonzero(self._kv == -int(kv))
+
     def stale_ids(self, current_version: int) -> np.ndarray:
         """Live ids bound to a version below current (background migration)."""
         return np.flatnonzero((self._kv > 0) & (self._kv < current_version))
@@ -209,20 +286,23 @@ class MetadataLog:
         step = _REC.size
         while off + _BLOCK_HDR.size <= len(raw):
             kind = raw[off]
-            if kind == _KIND_BLOCK_PUT:
+            if kind in (_KIND_BLOCK_PUT, _KIND_COMPACT_BLOCK):
                 hdr = raw[off:off + _BLOCK_HDR.size]
-                _k, count, kv, dim, _rsvd = _BLOCK_HDR.unpack(hdr)
+                _k, count, kv, dim, rsvd = _BLOCK_HDR.unpack(hdr)
                 body_len = count * 12        # u32 id + i64 offset per entry
                 end = off + _BLOCK_HDR.size + body_len + 4
-                if count == 0 or end > len(raw):
-                    break   # torn tail
+                if (count == 0 and kind == _KIND_BLOCK_PUT) or end > len(raw):
+                    break   # torn tail (compact blocks may legally be empty)
                 payload = raw[off + _BLOCK_HDR.size:end - 4]
                 (crc,) = struct.unpack_from("<I", raw, end - 4)
                 if zlib.crc32(payload, zlib.crc32(hdr)) != crc:
                     break   # torn tail
                 pids = np.frombuffer(payload[:count * 4], "<u4").astype(np.int64)
                 offs = np.frombuffer(payload[count * 4:], "<i8").astype(np.int64)
-                self._apply_put_block(pids, kv, dim, offs)
+                if kind == _KIND_COMPACT_BLOCK:
+                    self._apply_compact(pids, kv, dim, offs, rsvd)
+                else:
+                    self._apply_put_block(pids, kv, dim, offs)
                 off = end
                 continue
             if off + step > len(raw):
@@ -240,6 +320,12 @@ class MetadataLog:
                 if pid < self._cap and self._kv[pid] < 0:
                     self._kv[pid] = -self._kv[pid]
                     self._bump(int(self._kv[pid]), +1)
+            elif kind == _KIND_PURGE:
+                if pid < self._cap and self._kv[pid] != 0:
+                    if self._kv[pid] > 0:
+                        self._bump(int(self._kv[pid]), -1)
+                    self._kv[pid] = 0
+                    self._off[pid] = -1
             elif kind == _KIND_INDEX_VERSION:
                 self.index_version = pid
             off += step
@@ -258,16 +344,27 @@ class MetadataLog:
                 emit(_KIND_INDEX_VERSION, self.index_version, 0, 0, 0)
             present = np.flatnonzero(self._kv != 0)
             kv_abs = np.abs(self._kv[present])
+            emitted_epoch: set[int] = set()
             for kv in np.unique(kv_abs):
+                epoch = self.arena_epochs.get(int(kv), 0)
+                emitted_epoch.add(int(kv))
                 for dim in np.unique(self._dim[present][kv_abs == kv]):
                     sel = present[(kv_abs == kv)
                                   & (self._dim[present] == dim)]
-                    hdr = _BLOCK_HDR.pack(_KIND_BLOCK_PUT, len(sel), int(kv),
-                                          int(dim), 0)
+                    # compact blocks carry the arena epoch so a reopened log
+                    # resolves the same arena file
+                    hdr = _BLOCK_HDR.pack(_KIND_COMPACT_BLOCK, len(sel),
+                                          int(kv), int(dim), epoch)
                     payload = (sel.astype("<u4").tobytes()
                                + self._off[sel].astype("<i8").tobytes())
                     crc = zlib.crc32(payload, zlib.crc32(hdr))
                     f.write(hdr + payload + struct.pack("<I", crc))
+            for kv, epoch in self.arena_epochs.items():
+                if epoch and kv not in emitted_epoch:
+                    hdr = _BLOCK_HDR.pack(_KIND_COMPACT_BLOCK, 0, int(kv),
+                                          0, epoch)
+                    crc = zlib.crc32(b"", zlib.crc32(hdr))
+                    f.write(hdr + struct.pack("<I", crc))
             for pid in np.flatnonzero(self._kv < 0):
                 emit(_KIND_TOMBSTONE, int(pid), 0, 0, 0)
             f.flush()

@@ -46,6 +46,23 @@ class ReencryptReport:
     bytes_after: int
 
 
+def _parse_arena_name(name: str) -> tuple[int, int] | None:
+    """``v{kv}.arena`` -> (kv, 0); ``v{kv}.e{epoch}.arena`` -> (kv, epoch);
+    anything else -> None."""
+    if not (name.startswith("v") and name.endswith(".arena")):
+        return None
+    stem = name[1:-len(".arena")]
+    kv_s, _, e_s = stem.partition(".")
+    try:
+        if not e_s:
+            return int(kv_s), 0
+        if e_s.startswith("e"):
+            return int(kv_s), int(e_s[1:])
+    except ValueError:
+        pass
+    return None
+
+
 def _locked(method):
     """Serialize store operations (see PointStore._lock rationale)."""
 
@@ -79,11 +96,30 @@ class PointStore:
         # synchronized blocks (RocksDBMetadataManager.java:162,295,311,342)
         # and so do we.  Held per batch; contention cost is negligible.
         self._lock = threading.RLock()
+        self._gc_stale_arenas()
 
     # -- plumbing --------------------------------------------------------------
 
     def _arena_path(self, kv: int) -> str:
-        return os.path.join(self.points_dir, f"v{kv}.arena")
+        """Current arena file for a key version.  Compaction bumps the
+        version's epoch (committed in the metadata log), so the path is a
+        function of durable metadata — a crash on either side of a
+        compaction resolves to a consistent (file, offsets) pair."""
+        epoch = self.meta.arena_epoch(kv)
+        name = f"v{kv}.arena" if epoch == 0 else f"v{kv}.e{epoch}.arena"
+        return os.path.join(self.points_dir, name)
+
+    def _gc_stale_arenas(self) -> None:
+        """Remove arena files whose epoch is not the metadata's current one —
+        leftovers of a compaction interrupted before (new-epoch file) or
+        after (old-epoch file) its commit record."""
+        for name in os.listdir(self.points_dir):
+            parsed = _parse_arena_name(name)
+            if parsed is None:
+                continue
+            kv, epoch = parsed
+            if epoch != self.meta.arena_epoch(kv):
+                secure_delete_arena(os.path.join(self.points_dir, name))
 
     def _writer(self, kv: int) -> ArenaWriter:
         w = self._writers.get(kv)
@@ -165,12 +201,29 @@ class PointStore:
         self.meta.flush()
 
     @_locked
-    def undelete(self, ids) -> None:
-        """Clear tombstones (the ciphertext was never removed — deletion
-        is logical until the arena compacts/retires)."""
+    def undelete(self, ids) -> list[int]:
+        """Clear tombstones (deletion is logical until the arena compacts or
+        retires).  Ids whose backing ciphertext or key no longer exists —
+        arena retired/compacted away, key version securely deleted — are
+        SKIPPED (tombstone left in place): flipping them live would bind
+        metadata to bytes that are gone and corrupt the version's retirement
+        count.  Returns the ids actually restored."""
+        restored: list[int] = []
         for pid in np.atleast_1d(np.asarray(ids)):
-            self.meta.undelete(int(pid))
+            pid = int(pid)
+            kv = self.meta.tombstoned_version(pid)
+            if kv is None:
+                continue
+            try:
+                self.km.gcm_for(kv)
+            except KeyError:
+                continue              # key securely deleted
+            if not os.path.exists(self._arena_path(kv)):
+                continue              # arena retired
+            self.meta.undelete(pid)
+            restored.append(pid)
         self.meta.flush()
+        return restored
 
     # -- reads -----------------------------------------------------------------
 
@@ -214,6 +267,14 @@ class PointStore:
             # positions are scatter-written, so ordering is free)
             sel = sel[np.argsort(off_all[sel], kind="stable")]
             reader = self._reader(int(kv))
+            # bounds guard: the native open dereferences base+off with no
+            # check of its own, so a stale offset (e.g. metadata older than
+            # a shrunk arena) must never reach it — mask to ok=False instead
+            offs = off_all[sel]
+            inb = (offs >= 0) & (offs + (tag_rel + TAG_LEN) <= reader.size)
+            sel = sel[inb]
+            if not len(sel):
+                continue
             aads = aad_batch(ids[sel], int(kv), self.dim)
             ok_v = aesgcm.open_batch_records(
                 [self.km.gcm_for(int(kv))],
@@ -294,9 +355,10 @@ class PointStore:
         backed = set()
         garbage = 0
         for name in os.listdir(self.points_dir):
-            if not name.endswith(".arena"):
+            parsed = _parse_arena_name(name)
+            if parsed is None or parsed[1] != self.meta.arena_epoch(parsed[0]):
                 continue
-            kv = int(name[1:-len(".arena")])
+            kv = parsed[0]
             for off, pid, rkv, _dim, _iv, _ct in self._reader(kv).scan():
                 m = self.meta.get(pid)
                 if (m is not None and m.key_version == rkv
@@ -313,36 +375,51 @@ class PointStore:
         """Rewrite one live version's arena keeping only records current
         metadata points at (the reference queues superseded per-point files
         for deferred cleanup, RocksDBMetadataManager.java:430-498; with
-        arenas, reclamation is a sequential rewrite).  Returns bytes freed."""
+        arenas, reclamation is a sequential rewrite).  Returns bytes freed.
+
+        Crash-consistency protocol: the new arena is written under the NEXT
+        epoch's filename and fsynced, then ONE metadata record commits the
+        rewritten offsets and the epoch together; only then is the old
+        epoch's file securely deleted.  A crash before the commit leaves the
+        old (file, offsets) pair intact; after it, the new pair — stale
+        files of either epoch are GC'd on reopen."""
         path = self._arena_path(kv)
         if not os.path.exists(path):
             return 0
         reader = self._reader(kv)
         before = reader.size
-        tmp_path = path + ".compact"
-        if os.path.exists(tmp_path):
-            os.remove(tmp_path)
-        w = ArenaWriter(tmp_path)
-        moves: list[tuple[int, int]] = []
+        new_epoch = self.meta.arena_epoch(kv) + 1
+        new_path = os.path.join(self.points_dir, f"v{kv}.e{new_epoch}.arena")
+        if os.path.exists(new_path):
+            os.remove(new_path)
+        w = ArenaWriter(new_path)
+        pids: list[int] = []
+        offs: list[int] = []
         for off, pid, rkv, dim, iv, ct in reader.scan():
             m = self.meta.get(pid)
             if m is not None and m.key_version == rkv and m.arena_off == off:
                 new_off, _ = w.append(pid, rkv, dim, iv, ct)
-                moves.append((pid, new_off))
-        w.close()
-        # swap in the compacted arena, then commit the new offsets
+                pids.append(pid)
+                offs.append(new_off)
+        w.close()   # fsync: the new arena is durable before its commit record
+        # tombstoned ids bound to this version lose their ciphertext here —
+        # purge them so a later undelete cannot resurrect a dangling offset
+        for pid in self.meta.tombstoned_with_version(kv):
+            self.meta.purge(int(pid))
+        self.meta.commit_compaction(kv, self.dim,
+                                    np.asarray(pids, np.int64),
+                                    np.asarray(offs, np.int64), new_epoch)
+        self.meta.flush()
+        # the commit is durable — retire the old epoch's file
         r = self._readers.pop(kv, None)
         if r is not None:
             r.close()
         wr = self._writers.pop(kv, None)
         if wr is not None:
             wr.close()
-        os.replace(tmp_path, path)
-        for pid, new_off in moves:
-            m = self.meta.get(pid)
-            self.meta.put(pid, kv, m.dim, new_off)
-        self.meta.flush()
-        return before - os.path.getsize(path)
+        self._dirty.discard(kv)
+        secure_delete_arena(path)
+        return before - os.path.getsize(new_path)
 
     def restore_iter(self, batch: int = 4096):
         """Yield (ids int64 [b], vecs f32 [b, dim]) decrypting every live

@@ -87,12 +87,25 @@ class QueryToken:
     key_version: int
     num_tables: int
     lam: int
+    # Deterministic digest of the plaintext query, computed CLIENT-side by
+    # the token factory — the result-cache key (reference StringKeyedCache
+    # keys by the query string).  Coarse LSH codes alone are NOT a valid
+    # key: two nearby distinct queries can share codes (that is the point
+    # of LSH) and would be served each other's exact distances.
+    query_digest: bytes = b""
 
     def derive(self, top_k: int) -> "QueryToken":
         """Re-target topK only (reference QueryTokenFactory.derive:182-198)."""
         return QueryToken(self.codes, self.keys, self.iv, self.encrypted_query,
                           top_k, self.dimension, self.key_version,
-                          self.num_tables, self.lam)
+                          self.num_tables, self.lam, self.query_digest)
+
+    @property
+    def cache_key(self) -> bytes:
+        """Collision-free result-cache component: the query digest when the
+        factory provided one, else the (IV, ciphertext) pair — unique per
+        encryption, so a digest-less token never aliases another query."""
+        return self.query_digest or self.iv + self.encrypted_query
 
 
 @dataclass(frozen=True)

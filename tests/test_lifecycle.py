@@ -160,3 +160,68 @@ def test_compact_storage_and_undelete_window(tmp_path, rng):
         assert not ok2[0]
     finally:
         sys_.shutdown()
+
+
+def test_immediate_reencryption_mode(tmp_path, rng):
+    """reenc.mode=immediate: each search batch's touched set is migrated to
+    the current key version right away, results unchanged
+    (reference ForwardSecureANNSystem.java:1345-1360)."""
+    import dataclasses
+    from fspann_tpu.config import ReencryptionConfig
+    base_cfg = cfg()
+    imm = dataclasses.replace(
+        base_cfg, reencryption=ReencryptionConfig(mode="immediate"))
+    sys_ = ForwardSecureANNSystem(imm, str(tmp_path / "db"), DIM)
+    try:
+        vecs = rng.normal(size=(1100, DIM)).astype(np.float32)
+        sys_.index_stream(vecs, batch_size=600)
+        sys_.finalize_for_search()
+        q = vecs[17]
+        before = [(r.id, round(r.distance, 5))
+                  for r in sys_.search(sys_.create_token(q, 5))]
+        sys_.rotation.force_rotate_now()          # stale ciphertexts at v1
+        # same plaintext query = cache hit (valid: rotation never changes
+        # results) — bust the generation to force a real post-rotation pass
+        sys_._cache_gen += 1
+        res = sys_.search(sys_.create_token(q, 5))
+        after = [(r.id, round(r.distance, 5)) for r in res]
+        assert after == before                    # results unchanged
+        # every candidate THIS query touched is already migrated to v2
+        assert sys_.tracker.unique_count() == 0   # drained by immediate pass
+        touched = sys_.query_service.last_stats[0].cand_decrypted
+        assert touched > 0
+        assert sys_.store.meta.count_with_version(2) >= touched
+    finally:
+        sys_.shutdown()
+
+
+def test_restore_at_explicit_older_version(tmp_path, rng):
+    """--restore-version: after multiple rotations, a restore pinned at an
+    older LIVE version activates it; a securely deleted version refuses
+    (reference -Drestore.version, ForwardSecureANNSystem.java:950-962)."""
+    vecs = rng.normal(size=(1100, DIM)).astype(np.float32)
+    sys_ = ForwardSecureANNSystem(cfg(), str(tmp_path / "db"), DIM)
+    sys_.index_stream(vecs, batch_size=600)
+    sys_.finalize_for_search()
+    sys_.rotation.force_rotate_now()   # v2
+    sys_.rotation.force_rotate_now()   # v3
+    sys_.store.meta.save_index_version(3)
+    sys_.shutdown()
+
+    r = ForwardSecureANNSystem(cfg(), str(tmp_path / "db"), DIM)
+    try:
+        n = r.restore_index_from_disk(version=2)
+        assert n == 1100
+        assert r.rotation.pinned_version == 2
+        res = r.search(r.create_token(vecs[9], 5))
+        assert res[0].id == 9
+    finally:
+        r.shutdown()
+
+    import pytest
+    r2 = ForwardSecureANNSystem(cfg(), str(tmp_path / "db"), DIM)
+    try:
+        with pytest.raises(KeyError):
+            r2.restore_index_from_disk(version=99)
+    finally:
+        r2.shutdown()

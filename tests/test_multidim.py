@@ -63,3 +63,31 @@ def test_multidim_restore_all(tmp_path, rng):
         assert md2.search(md2.create_token(v16[5], 1))[0].id == 5
     finally:
         md2.shutdown()
+
+
+def test_multidim_background_reencryption_shares_keystore(tmp_path, rng):
+    """Constructor-injected KeyManager: a sub-system's background daemon
+    must migrate against the SHARED keystore (the round-1 attribute swap
+    left daemons holding a throwaway one)."""
+    import dataclasses
+    from fspann_tpu.config import ReencryptionConfig
+    cfg = dataclasses.replace(
+        small_cfg(),
+        reencryption=ReencryptionConfig(background_enabled=True,
+                                        background_interval_s=30.0))
+    md = MultiDimSystem(cfg, str(tmp_path / "db"))
+    try:
+        v8 = rng.normal(size=(1100, 8)).astype(np.float32)
+        md.batch_insert(np.arange(1100), v8)
+        md.finalize_for_search()
+        sub = md.system_for(8)
+        assert sub.background is not None
+        # the whole chain sees one keystore
+        assert sub.background.svc.km is md.km
+        assert sub.store.km is md.km and sub.tokens.km is md.km
+        md.km.rotate()
+        migrated = sub.background.run_once()
+        assert migrated > 0
+        assert sub.store.meta.count_with_version(2) == migrated
+    finally:
+        md.shutdown()

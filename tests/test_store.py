@@ -172,3 +172,113 @@ def test_compaction_survives_reopen(tmp_path, rng):
     assert ok.all()
     np.testing.assert_allclose(out, vecs, rtol=1e-6)
     s2.close()
+
+
+# -- round-2 hardening: compaction/undelete interplay (ADVICE r1) -------------
+
+def test_undelete_after_compaction_cannot_resurrect(store, rng):
+    """A tombstoned record dropped by compaction is purged: undelete is a
+    no-op and no stale offset can reach the native GCM open (OOB guard)."""
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    store.insert_batch(np.arange(50), vecs)
+    store.delete([49])                     # last record: compaction shrinks
+    store.compact_version(1)               # past its old offset
+    assert store.undelete([49]) == []
+    out, ok = store.load_decrypt_batch(np.array([49]))
+    assert not ok[0]
+    # the live rest still decrypts at the rewritten offsets
+    out, ok = store.load_decrypt_batch(np.arange(49))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs[:49], rtol=1e-6)
+
+
+def test_undelete_after_retire_skips(store, rng):
+    """Undelete of a point whose arena+key were securely deleted is skipped:
+    the tombstone stays, queries keep returning ok=False, and the retired
+    version's count stays zero."""
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    store.insert_batch(np.arange(20), vecs)
+    store.delete([5])
+    store.km.rotate()
+    live = np.concatenate([np.arange(5), np.arange(6, 20)])
+    store.reencrypt_ids(live)              # migrate everything live to v2
+    store.meta.purge(5)                    # v1 drains fully
+    assert store.retire_version(1)
+    store.km.delete_version(1)
+    # resurrect attempt on a different tombstone bound to a gone version
+    store.insert_batch(np.array([30]), vecs[:1], key_version=2)
+    assert store.undelete([5]) == []
+    assert store.meta.count_with_version(1) == 0
+    _, ok = store.load_decrypt_batch(np.array([5]))
+    assert not ok[0]
+
+
+def test_out_of_bounds_offset_degrades_gracefully(store, rng):
+    """Stale metadata offsets past the arena end must yield ok=False, not a
+    native out-of-bounds read."""
+    vecs = rng.normal(size=(10, 8)).astype(np.float32)
+    store.insert_batch(np.arange(10), vecs)
+    store.meta.put(3, 1, 8, 10**9)          # poison: offset far past EOF
+    out, ok = store.load_decrypt_batch(np.arange(10))
+    assert not ok[3] and ok.sum() == 9
+
+
+def test_compaction_crash_window_before_commit(tmp_path, rng):
+    """Crash AFTER the new-epoch arena is written but BEFORE the commit
+    record: reopen must resolve the old (file, offsets) pair and GC the
+    orphan new-epoch file."""
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    s.insert_batch(np.arange(30), vecs)
+    km.rotate()
+    s.reencrypt_ids(np.arange(15))          # v1 arena now half garbage
+    # simulate the torn compaction: write the new-epoch file only
+    import os
+    new_path = os.path.join(s.points_dir, "v1.e1.arena")
+    open(new_path, "wb").write(b"\x00" * 64)
+    s.close()
+    s2 = PointStore(str(tmp_path / "db"), KeyManager(str(tmp_path / "ks.blob")),
+                    dim=8)
+    assert not os.path.exists(new_path)      # orphan GC'd
+    out, ok = s2.load_decrypt_batch(np.arange(30))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+    s2.close()
+
+
+def test_compaction_epoch_survives_reopen_and_log_compaction(tmp_path, rng):
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    s.insert_batch(np.arange(30), vecs)
+    km.rotate()
+    s.reencrypt_ids(np.arange(15))
+    s.compact_version(1)
+    assert s.meta.arena_epoch(1) == 1
+    s.meta.compact()                         # log rewrite must keep epochs
+    s.compact_version(1)                     # second compaction: epoch 2
+    assert s.meta.arena_epoch(1) == 2
+    s.close()
+    s2 = PointStore(str(tmp_path / "db"), KeyManager(str(tmp_path / "ks.blob")),
+                    dim=8)
+    assert s2.meta.arena_epoch(1) == 2
+    out, ok = s2.load_decrypt_batch(np.arange(30))
+    assert ok.all()
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+    s2.close()
+
+
+def test_duplicate_ids_in_one_batch_do_not_inflate_counts(tmp_path):
+    log = MetadataLog(str(tmp_path / "m.log"))
+    log.put_batch(np.array([1, 2, 2, 3, 2]), 1, 8,
+                  np.array([10, 20, 30, 40, 50]))
+    assert log.count_with_version(1) == 3
+    assert log.get(2).arena_off == 50        # last occurrence wins
+    for pid in (1, 2, 3):
+        log.tombstone(pid)
+    assert log.count_with_version(1) == 0    # safe-to-delete reachable
+    log.close()
+    log2 = MetadataLog(str(tmp_path / "m.log"))
+    assert log2.count_with_version(1) == 0
+    log2.close()

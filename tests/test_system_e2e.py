@@ -374,3 +374,29 @@ def test_undelete_restores_visibility(tmp_path, corpus):
         assert res[0].id == victim
     finally:
         sys_.shutdown()
+
+
+def test_query_cache_does_not_alias_nearby_queries(tmp_path, corpus):
+    """Two distinct queries that share LSH codes must NOT be served each
+    other's cached results — the cache keys on the plaintext query digest
+    (reference StringKeyedCache keys by the query string)."""
+    base, queries = corpus
+    sys_ = make_system(tmp_path)
+    try:
+        sys_.index_stream(base, batch_size=500)
+        sys_.finalize_for_search()
+        q1 = queries[0]
+        q2 = q1 + 1e-4                      # nearby: same routing codes
+        t1 = sys_.create_token(q1, 5)
+        t2 = sys_.create_token(q2, 5)
+        assert np.array_equal(t1.codes, t2.codes), "test premise: same codes"
+        r1 = sys_.search(t1)
+        r2 = sys_.search(t2)
+        d1 = [r.distance for r in r1]
+        d2 = [r.distance for r in r2]
+        assert d1 != d2                      # exact distances differ
+        # identical plaintext query DOES hit the cache (same digest)
+        r1b = sys_.search(sys_.create_token(q1, 5))
+        assert [r.id for r in r1b] == [r.id for r in r1]
+    finally:
+        sys_.shutdown()

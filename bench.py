@@ -10,8 +10,9 @@ SIFT_P4_FAST — ART 1429.8 ms/query ⇒ 0.699 q/s (BASELINE.md, measured on a
 ~354 GB-heap server).  vs_baseline = our encrypted q/s ÷ 0.699.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
-BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_PREFLIGHT_S (540),
-BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
+BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_CORPUS (hard|easy, default
+hard — the LSH-hard instance, io/synthetic.py), BENCH_PROBES (-1 = profile
+default), BENCH_PREFLIGHT_S (540), BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
 """
 
 import json
@@ -101,26 +102,26 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(42)
-    n_clusters = 1024
-    centers = (rng.normal(size=(n_clusters, d)) * 6).astype(np.float32)
-    base = np.empty((n, d), np.float32)
-    chunk = 200_000
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        asg = rng.integers(0, n_clusters, e - s)
-        base[s:e] = centers[asg] + rng.normal(size=(e - s, d)).astype(np.float32)
-    queries = centers[rng.integers(0, n_clusters, q)] + \
-        rng.normal(size=(q, d)).astype(np.float32)
+    # Corpus: "hard" (default) is the LSH-hard instance — heavy-tailed
+    # anisotropic clusters + fringe queries, calibrated so recall sits in
+    # the reference's real-SIFT band (R@100 0.52@5probes / 0.72@12probes at
+    # 100k) instead of saturating at 1.0 like the round-1 easy mixture.
+    from fspann_tpu.io import synthetic
+    corpus_kind = os.environ.get("BENCH_CORPUS", "hard")
+    if corpus_kind == "hard":
+        base, queries = synthetic.lsh_hard_corpus(n, d, q, seed=42)
+    else:
+        base, queries = synthetic.easy_corpus(n, d, q, seed=42)
 
     work = tempfile.mkdtemp(prefix="fspann_bench_")
     try:
         import dataclasses
         cfg = SystemConfig()
         cfg = dataclasses.replace(
-            cfg, runtime=dataclasses.replace(cfg.runtime,
-                                             storage_dtype=dtype,
-                                             encode_backend=encode_backend))
+            cfg, runtime=dataclasses.replace(
+                cfg.runtime, storage_dtype=dtype,
+                encode_backend=encode_backend,
+                probe_override=int(os.environ.get("BENCH_PROBES", -1))))
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()
@@ -159,11 +160,16 @@ def main():
             "vs_baseline": round(qps / baseline_qps, 1),
             "recall_at_10": round(recall10, 4),
             "distance_ratio_at_100": round(ratio, 4),
-            "art_ms": round(1000.0 * wall / q, 2),
+            # ONE latency definition: art/p50/p95 all derive from the same
+            # series (per-batch exclusive service time / batch size, which
+            # sums to the pipeline wall) — see QueryService.search_batches
+            "art_ms": round(agg.mean_art_ms, 2),
             "p50_art_ms": round(agg.p50_art_ms, 2),
             "p95_art_ms": round(agg.p95_art_ms, 2),
+            "wall_s": round(wall, 2),
             "build_s": round(t_build, 1),
             "n": n, "d": d, "queries": q, "platform": platform,
+            "corpus": corpus_kind,
             "storage_dtype": dtype, "encode_backend": encode_backend,
         }))
         sys_.shutdown()

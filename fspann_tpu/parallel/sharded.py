@@ -96,13 +96,21 @@ class ShardedIndex:
 
     # -- query ------------------------------------------------------------------
 
-    def query_step_fn(self, probes: int, refinement_limit: int, k: int):
+    def query_step_fn(self, probes: int, refinement_limit: int, k: int,
+                      probe_shards: int | None = None):
         """Return the jittable sharded query step (route → local refine →
-        cross-chip top-k merge).  Suitable for jit over the mesh."""
+        cross-chip top-k merge).  Suitable for jit over the mesh.
+
+        ``probe_shards`` restricts results to the first N shards (reference
+        ``-Dprobe.shards``, ForwardSecureANNSystem.java:1598-1617).  Under
+        SPMD every device still executes — the subset semantics are applied
+        by masking the unprobed shards' contributions out of the merge."""
         bank = self.bank
         axis = self.axis
         rows = self.shard_rows
         n = self.n
+        shard_cap = self.n_devices if probe_shards is None \
+            else max(1, min(probe_shards, self.n_devices))
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(jax.tree.map(lambda _: P(axis), self.table),
@@ -113,6 +121,7 @@ class ShardedIndex:
             table = jax.tree.map(lambda x: x[0], table_stacked)
             qcodes, qkeys = coding.encode(queries, bank)
             local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
+            local_valid &= jax.lax.axis_index(axis) < shard_cap
             tomb = ~local_valid
             routed = routing.route(table, qcodes, qkeys, tomb, probes,
                                    refinement_limit)
@@ -141,11 +150,13 @@ class ShardedIndex:
         return step
 
     def query(self, queries: np.ndarray, probes: int = 5,
-              refinement_limit: int = 2048, k: int = 10):
-        key = (probes, refinement_limit, k)
+              refinement_limit: int = 2048, k: int = 10,
+              probe_shards: int | None = None):
+        key = (probes, refinement_limit, k, probe_shards)
         step = self._steps.get(key)
         if step is None:
-            step = jax.jit(self.query_step_fn(probes, refinement_limit, k))
+            step = jax.jit(self.query_step_fn(probes, refinement_limit, k,
+                                              probe_shards))
             self._steps[key] = step
         ids, dist = step(self.table, self.base,
                          jnp.asarray(queries, jnp.float32))

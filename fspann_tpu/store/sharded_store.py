@@ -62,12 +62,18 @@ class ShardedPointStore:
             if len(sel):
                 self.shards[s].insert_batch(ids[sel], vecs[sel], key_version)
 
-    def load_decrypt_batch(self, ids):
+    def load_decrypt_batch(self, ids, probe_shards: int | None = None):
+        """``probe_shards`` limits the gather to the first N shards — the
+        reference's ``-Dprobe.shards`` latency cap
+        (ForwardSecureANNSystem.java:1598-1617): candidates on unprobed
+        shards come back ok=False instead of paying their shard's I/O."""
         ids = np.asarray(ids, np.int64)
         vecs = np.zeros((len(ids), self.dim), np.float32)
         ok = np.zeros(len(ids), bool)
         shard = self.shard_of(np.maximum(ids, 0))
-        for s in range(self.num_shards):
+        limit = self.num_shards if probe_shards is None \
+            else max(0, min(probe_shards, self.num_shards))
+        for s in range(limit):
             sel = np.flatnonzero((shard == s) & (ids >= 0))
             if len(sel):
                 v, o = self.shards[s].load_decrypt_batch(ids[sel])

@@ -125,3 +125,19 @@ def test_keyutils(rng):
                        [b"wrong", b"aad1"]) == b"hello"
     assert try_decrypt(bytes(range(1, 33)), b"\x00" * 12, ct,
                        [b"aad1"]) is None
+
+
+def test_sharded_store_probe_shards(tmp_path, rng):
+    from fspann_tpu.crypto.keys import KeyManager
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = ShardedPointStore(str(tmp_path / "db"), km, dim=8, num_shards=4)
+    vecs = rng.normal(size=(64, 8)).astype(np.float32)
+    s.insert_batch(np.arange(64), vecs)
+    full_v, full_ok = s.load_decrypt_batch(np.arange(64))
+    assert full_ok.all()
+    sub_v, sub_ok = s.load_decrypt_batch(np.arange(64), probe_shards=2)
+    shard = s.shard_of(np.arange(64))
+    assert sub_ok.sum() == (shard < 2).sum()
+    assert (sub_ok == (shard < 2)).all()
+    np.testing.assert_allclose(sub_v[sub_ok], vecs[sub_ok], rtol=1e-6)
+    s.close()

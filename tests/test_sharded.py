@@ -52,3 +52,27 @@ def test_sharded_padding_masked(rng):
     # querying with a base vector finds itself at distance ~0
     assert (ids[:, 0] == np.arange(4)).all()
     np.testing.assert_allclose(dist[:, 0], 0, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_probe_shards_subset(rng):
+    """probe_shards=N restricts results to the first N shards' rows
+    (reference -Dprobe.shards, ForwardSecureANNSystem.java:1598-1617)."""
+    n, d, q, k = 2048, 8, 4, 10
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+    bank = coding.build_bank_from_sample(base[:800], m=6, lam=2, tables=2,
+                                         divisions=2, seed=13)
+    idx = ShardedIndex(make_mesh(), bank, block_size=16)
+    idx.build(base)
+    nd = idx.n_devices
+    subset = 2
+    ids, dist = idx.query(queries, probes=3, refinement_limit=256, k=k,
+                          probe_shards=subset)
+    live = ids[ids >= 0]
+    assert len(live), "subset probe returned nothing"
+    assert (live < subset * idx.shard_rows).all(), \
+        "id from an unprobed shard leaked into the merge"
+    # full probe still sees all shards
+    ids_full, _ = idx.query(queries, probes=3, refinement_limit=256, k=k)
+    assert (ids_full[ids_full >= 0] >= subset * idx.shard_rows).any()

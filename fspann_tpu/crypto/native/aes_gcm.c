@@ -360,6 +360,50 @@ int fspann_gcm_open_batch_rec(const void *ctxs, size_t ctx_stride,
     return failures;
 }
 
+/* AAD synthesis fused into the open loop.  The AAD format is fixed-width
+ * ("id:%010u|v:%08u|d:%05u", 32 bytes — common/EncryptedPoint AAD binding);
+ * building it per record in a stack buffer costs a few ALU ops in L1,
+ * whereas materializing an [n, 32] AAD matrix in numpy costs a full extra
+ * DRAM pass over the candidate set — measured as large as the AES itself
+ * on the bandwidth-starved host (scripts/profile_decrypt.py). */
+static inline void fspann_format_aad(uint8_t *out, uint64_t id, uint32_t kv,
+                                     uint32_t dim) {
+    memcpy(out, "id:", 3);
+    for (int i = 12; i >= 3; i--) { out[i] = (uint8_t)('0' + id % 10); id /= 10; }
+    memcpy(out + 13, "|v:", 3);
+    for (int i = 23; i >= 16; i--) { out[i] = (uint8_t)('0' + kv % 10); kv /= 10; }
+    memcpy(out + 24, "|d:", 3);
+    for (int i = 31; i >= 27; i--) { out[i] = (uint8_t)('0' + dim % 10); dim /= 10; }
+}
+
+/* open_batch_rec variant for the query hot path: one key version per call,
+ * AADs synthesized from the candidate ids instead of passed as a matrix. */
+int fspann_gcm_open_batch_rec_id(const void *ctx,
+                                 size_t n,
+                                 const uint8_t *base, const uint64_t *rec_off,
+                                 uint32_t iv_rel, uint32_t ct_rel,
+                                 uint32_t tag_rel, uint64_t ct_len,
+                                 const int64_t *ids, uint32_t key_version,
+                                 uint32_t dim,
+                                 uint8_t *pt, const uint64_t *pt_off,
+                                 uint8_t *ok) {
+    int failures = 0;
+    uint8_t aad[32];
+    for (size_t i = 0; i < n; i++) {
+        const uint8_t *rec = base + rec_off[i];
+        fspann_format_aad(aad, (uint64_t)ids[i], key_version, dim);
+        int rc = fspann_gcm_open(ctx, rec + iv_rel, aad, 32,
+                                 rec + ct_rel, ct_len,
+                                 rec + tag_rel, pt + pt_off[i]);
+        ok[i] = (uint8_t)(rc == 0);
+        if (rc != 0) {
+            memset(pt + pt_off[i], 0, ct_len);
+            failures++;
+        }
+    }
+    return failures;
+}
+
 /* Fused re-encrypt: open under ctx_old, seal under ctx_new with fresh IVs;
  * one pass over the data for selective re-encryption sweeps. */
 int fspann_gcm_rekey_batch(const void *ctx_old_arr, size_t ctx_stride,

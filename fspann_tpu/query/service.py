@@ -205,6 +205,10 @@ class QueryService:
 
     def _consume_pass(self, tokens, qvecs, routed, k, touched_parts,
                       t_start):
+        # stage attribution: route_ns counts only the time THIS thread spends
+        # blocked on the device result — pipeline overlap (the previous
+        # batch's host work ran between dispatch and here) is not charged
+        t_wait = time.perf_counter()
         # Fetch the tiny per-query counters FIRST (blocks on the device
         # route), then pull only the live prefix of the ranked id matrix:
         # ids are sorted best-first with pads at the end, so the first
@@ -252,7 +256,7 @@ class QueryService:
                 cand_raw=int(n_raw[qi]), cand_unique=int(n_unique[qi]),
                 cand_refined=int((cand_ids[qi] >= 0).sum()),
                 cand_decrypted=int(n_scored[qi]), returned=returned,
-                route_ns=int((t1 - t_start) * 1e9 / q),
+                route_ns=int((t1 - t_wait) * 1e9 / q),
                 decrypt_ns=int((t2 - t1) * 1e9 / q),
                 refine_ns=int((t3 - t2) * 1e9 / q)))
         return ids, dists, stats

@@ -275,13 +275,14 @@ class PointStore:
             sel = sel[inb]
             if not len(sel):
                 continue
-            aads = aad_batch(ids[sel], int(kv), self.dim)
-            ok_v = aesgcm.open_batch_records(
-                [self.km.gcm_for(int(kv))],
-                np.zeros(len(sel), np.uint32),
+            # AADs are synthesized in C per record (L1 stack buffer) — the
+            # numpy AAD matrix was a full DRAM pass as costly as the AES
+            ok_v = aesgcm.open_batch_records_by_id(
+                self.km.gcm_for(int(kv)),
                 reader._buf, off_all[sel].astype(np.uint64),
                 iv_rel, ct_rel, tag_rel, body,
-                aads, staging, (sel * body).astype(np.uint64))
+                ids[sel], int(kv), self.dim,
+                staging, (sel * body).astype(np.uint64))
             ok[sel] = ok_v.astype(bool)
         if self.dtype != "f32":
             with np.errstate(all="ignore"):

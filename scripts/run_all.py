@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_profile(cfg, base, queries, out_dir, profile):
+def run_profile(cfg, base, queries, out_dir, profile, gtm=None):
     from fspann_tpu.api.system import ForwardSecureANNSystem
     from fspann_tpu.io import groundtruth
 
@@ -35,7 +35,8 @@ def run_profile(cfg, base, queries, out_dir, profile):
         system.index_stream(base, batch_size=100_000)
         system.finalize_for_search()
         build_s = time.time() - t0
-        gtm = groundtruth.precompute(base, queries, k=cfg.eval.max_k)
+        if gtm is None:   # GT is profile-independent; caller should share it
+            gtm = groundtruth.precompute(base, queries, k=cfg.eval.max_k)
         # warmup batch: exclude jit compile from the measured sweep
         system.run_queries(queries[:min(64, len(queries))], gtm, base)
         system.profiler.rows.clear()
@@ -70,6 +71,10 @@ def main():
     ap.add_argument("--query-limit", type=int, default=1000)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="use an n-point synthetic corpus instead of --data")
+    ap.add_argument("--corpus", default="hard", choices=("hard", "easy"),
+                    help="synthetic corpus kind (io/synthetic.py)")
+    ap.add_argument("--encode-backend", default=None,
+                    help="override runtime.encode_backend (cpu|default)")
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--out", default="results/sweep")
     args = ap.parse_args()
@@ -85,23 +90,27 @@ def main():
         profiles = [p for p in profiles if p in args.profiles.split(",")]
 
     if args.synthetic:
-        rng = np.random.default_rng(42)
-        centers = rng.normal(size=(1024, args.d)).astype(np.float32) * 6
-        base = centers[rng.integers(0, 1024, args.synthetic)] + \
-            rng.normal(size=(args.synthetic, args.d)).astype(np.float32)
-        queries = centers[rng.integers(0, 1024, args.query_limit)] + \
-            rng.normal(size=(args.query_limit, args.d)).astype(np.float32)
+        from fspann_tpu.io import synthetic
+        gen = synthetic.lsh_hard_corpus if args.corpus == "hard" \
+            else synthetic.easy_corpus
+        base, queries = gen(args.synthetic, args.d, args.query_limit, seed=42)
     else:
         base = np.asarray(loaders.load_vectors(args.data), np.float32)
         queries = np.asarray(loaders.load_vectors(args.queries),
                              np.float32)[:args.query_limit]
 
     os.makedirs(args.out, exist_ok=True)
+    from fspann_tpu.io import groundtruth
+    t0 = time.time()
+    gtm = groundtruth.precompute(base, queries, k=100)
+    print(f"GT precompute: {time.time()-t0:.1f}s", flush=True)
     rows = []
     for profile in profiles:
-        cfg = load_config(args.config, profile)
+        overrides = {"runtime": {"encode_backend": args.encode_backend}} \
+            if args.encode_backend else None
+        cfg = load_config(args.config, profile, overrides=overrides)
         print(f"=== {profile} ===", flush=True)
-        row = run_profile(cfg, base, queries, args.out, profile)
+        row = run_profile(cfg, base, queries, args.out, profile, gtm=gtm)
         print(json.dumps(row), flush=True)
         rows.append(row)
         with open(os.path.join(args.out, "global_summary.csv"), "w",

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SystemConfig
@@ -88,6 +89,10 @@ class QueryService:
         # the facade wires immediate selective re-encryption through it
         # (reference reenc.mode=immediate, ForwardSecureANNSystem.java:1345)
         self.on_touched = None
+        # predicted live-prefix width (pow2) for the candidate transfer,
+        # carried across batches so the slice is dispatched AT ROUTE TIME
+        # (overlapped) instead of as a serial round trip at consume time
+        self._slice_pred: int | None = None
 
     # -- public ------------------------------------------------------------------
 
@@ -198,33 +203,41 @@ class QueryService:
             10 * k, self.cfg.runtime.refinement_limit)
 
     def _dispatch_route(self, tokens, probes, limit):
-        """Stage A dispatch — returns device arrays without blocking."""
+        """Stage A dispatch — returns (routed, ids_slice, pred) without
+        blocking.  ``ids_slice`` is the ranked id matrix cut to the
+        predicted live width (previous batch's, pow2-bucketed): the slice
+        executes on the device during pipeline overlap, so the consume side
+        pays one transfer of mostly-live ids instead of a counters round
+        trip + serial slice dispatch + full-width pad transfer."""
         qc = jnp.asarray(np.stack([t.codes for t in tokens]))
         qk = jnp.asarray(np.stack([t.keys for t in tokens]))
-        return self.index.route_batch(qc, qk, probes, limit)
+        routed = self.index.route_batch(qc, qk, probes, limit)
+        r_full = routed.ids.shape[1]
+        pred = self._slice_pred
+        if pred is not None and pred < 0.7 * r_full:
+            return routed, routed.ids[:, :pred], pred
+        return routed, routed.ids, r_full
 
-    def _consume_pass(self, tokens, qvecs, routed, k, touched_parts,
+    def _consume_pass(self, tokens, qvecs, dispatched, k, touched_parts,
                       t_start):
+        routed, ids_slice, pred = dispatched
         # stage attribution: route_ns counts only the time THIS thread spends
         # blocked on the device result — pipeline overlap (the previous
         # batch's host work ran between dispatch and here) is not charged
         t_wait = time.perf_counter()
-        # Fetch the tiny per-query counters FIRST (blocks on the device
-        # route), then pull only the live prefix of the ranked id matrix:
-        # ids are sorted best-first with pads at the end, so the first
-        # max(n_unique) columns carry every live candidate.  Bucketing the
-        # slice width to powers of two bounds recompiles while cutting the
-        # host<->device transfer to what is actually live (VERDICT r1: the
-        # default refinement_limit shipped ~7x pad over a ~27MB/s link).
-        n_unique = np.asarray(routed.n_unique)
-        n_raw = np.asarray(routed.n_raw)
+        # Pull the tiny per-query counters in one transfer, then the ranked
+        # ids at the PREDICTED live width (slice already executed device-side
+        # during overlap): ids are sorted best-first with pads at the end, so
+        # the first max(n_unique) columns carry every live candidate.  On a
+        # mispredict (need > pred) fall back to the full matrix — correctness
+        # never depends on the prediction (VERDICT r1: the default
+        # refinement_limit shipped ~7x pad over a ~27MB/s link).
+        n_unique, n_raw = (np.asarray(x) for x in
+                           jax.device_get((routed.n_unique, routed.n_raw)))
         r_full = routed.ids.shape[1]
         need = max(int(n_unique.max(initial=1)), k, 1)
-        if need < r_full:
-            r_b = min(r_full, max(256, 1 << (need - 1).bit_length()))
-            cand_ids = np.asarray(routed.ids[:, :r_b])
-        else:
-            cand_ids = np.asarray(routed.ids)
+        cand_ids = np.asarray(ids_slice if need <= pred else routed.ids)
+        self._slice_pred = min(max(256, 1 << (need - 1).bit_length()), r_full)
         t1 = time.perf_counter()
 
         q, r = cand_ids.shape

@@ -110,7 +110,12 @@ def main():
             if args.encode_backend else None
         cfg = load_config(args.config, profile, overrides=overrides)
         print(f"=== {profile} ===", flush=True)
-        row = run_profile(cfg, base, queries, args.out, profile, gtm=gtm)
+        try:
+            row = run_profile(cfg, base, queries, args.out, profile, gtm=gtm)
+        except Exception as e:  # noqa: BLE001 — one profile must not kill the sweep
+            print(f"PROFILE FAILED {profile}: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
         print(json.dumps(row), flush=True)
         rows.append(row)
         with open(os.path.join(args.out, "global_summary.csv"), "w",

@@ -93,6 +93,10 @@ class QueryService:
         # carried across batches so the slice is dispatched AT ROUTE TIME
         # (overlapped) instead of as a serial round trip at consume time
         self._slice_pred: int | None = None
+        # reusable decrypt staging (grown on demand): avoids page-faulting
+        # a fresh candidate-set-sized calloc every batch; rows are masked by
+        # `ok`, never read stale
+        self._stage_buf = np.zeros(0, np.float32)
 
     # -- public ------------------------------------------------------------------
 
@@ -242,8 +246,12 @@ class QueryService:
 
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1)
-        vecs_flat, ok_flat = self.store.load_decrypt_batch(flat)
-        cand_vecs = vecs_flat.reshape(q, r, self.index.dim)
+        dim = self.index.dim
+        if self._stage_buf.size < flat.size * dim:
+            self._stage_buf = np.zeros(flat.size * dim, np.float32)
+        out = self._stage_buf[:flat.size * dim].reshape(flat.size, dim)
+        vecs_flat, ok_flat = self.store.load_decrypt_batch(flat, out=out)
+        cand_vecs = vecs_flat.reshape(q, r, dim)
         valid = ok_flat.reshape(q, r)
         if touched_parts is not None:
             touched_parts.append(flat[ok_flat])

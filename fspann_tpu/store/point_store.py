@@ -228,17 +228,29 @@ class PointStore:
     # -- reads -----------------------------------------------------------------
 
     @_locked
-    def load_decrypt_batch(self, ids: np.ndarray
+    def load_decrypt_batch(self, ids: np.ndarray, out: np.ndarray | None = None
                            ) -> tuple[np.ndarray, np.ndarray]:
         """Load + decrypt candidates.  ids int [n]; pad/missing/tombstoned
         entries yield ok=False.  Returns (vecs f32 [n, dim], ok bool [n]).
+
+        ``out`` (f32 [n, dim], C-contiguous) reuses a caller-owned staging
+        buffer: rows with ok=False then hold STALE bytes from earlier calls
+        instead of zeros — only for hot-path callers that mask by ``ok``
+        (page-faulting 100s of MB of fresh calloc per batch measurably beats
+        the AES on this host).
 
         Fully vectorized: one metadata gather, one mmap gather per live key
         version, ONE multi-key GCM open for the whole set (per-record key
         versions — reference QueryServiceImpl.java:250-251)."""
         ids = np.asarray(ids, np.int64)
         n = len(ids)
-        vecs = np.zeros((n, self.dim), np.float32)
+        if out is not None:
+            if out.shape != (n, self.dim) or out.dtype != np.float32 \
+                    or not out.flags.c_contiguous:
+                raise ValueError("out must be C-contiguous f32 [n, dim]")
+            vecs = out
+        else:
+            vecs = np.zeros((n, self.dim), np.float32)
         ok = np.zeros(n, bool)
 
         kv_all, off_all = self.meta.lookup_batch(ids)

@@ -65,6 +65,9 @@ def precompute(base: np.ndarray, queries: np.ndarray, k: int = 100,
 
     backend: "xla" (chunked matmul+top_k) or "pallas" (streaming bitonic
     kernel, ops/pallas_topk.py — single base read, VMEM-resident top-k).
+    Measured on v5e: XLA wins at every relevant shape (0.2-0.5x for the
+    kernel; NOTES_ROUND2.md) — "xla" is the supported default, "pallas"
+    is retained as a working Mosaic recipe.
     """
     if backend == "pallas":
         from ..ops.pallas_topk import bitonic_topk

@@ -6,8 +6,11 @@ device refine) on the real TPU chip and prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Baseline: the Java reference's best sub-1.5s profile on SIFT1M,
-SIFT_P4_FAST — ART 1429.8 ms/query ⇒ 0.699 q/s (BASELINE.md, measured on a
-~354 GB-heap server).  vs_baseline = our encrypted q/s ÷ 0.699.
+SIFT_P4_FAST — ART 1429.8 ms/query at recall@100 0.55 ⇒ 0.699 q/s
+(BASELINE.md, measured on a ~354 GB-heap server).  The default BENCH_PROFILE
+=parity runs OUR system at an operating point whose recall@100 on the
+equally-hard corpus sits in the same band, so vs_baseline = q/s ÷ 0.699 is
+a throughput ratio at comparable recall, not a recall-for-speed trade.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
 BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_CORPUS (hard|easy, default
@@ -117,11 +120,30 @@ def main():
     try:
         import dataclasses
         cfg = SystemConfig()
+        # BENCH_PROFILE=parity (default): the recall-parity operating point
+        # on the hard corpus — recall@100 in the reference's measured
+        # real-SIFT band (0.55-0.77), so vs_baseline compares THROUGHPUT AT
+        # EQUAL RECALL, not a fast-but-blind configuration.
+        # BENCH_PROFILE=fast: the default 5-probe profile (low recall on the
+        # hard instance; matches round-1 conditions on the easy one).
+        profile = os.environ.get("BENCH_PROFILE", "parity")
+        paper_kw, rt_kw = {}, {}
+        if profile == "parity" and corpus_kind == "hard":
+            paper_kw = {"tables": 8}
+            rt_kw = {"probe_override": 12, "block_size": 128,
+                     "refinement_limit": 38000,
+                     "max_global_candidates": 38000}
         cfg = dataclasses.replace(
-            cfg, runtime=dataclasses.replace(
+            cfg,
+            paper=dataclasses.replace(cfg.paper, **paper_kw),
+            runtime=dataclasses.replace(
                 cfg.runtime, storage_dtype=dtype,
-                encode_backend=encode_backend,
-                probe_override=int(os.environ.get("BENCH_PROBES", -1))))
+                encode_backend=encode_backend, **rt_kw))
+        probes_env = int(os.environ.get("BENCH_PROBES", 0))
+        if probes_env:
+            cfg = dataclasses.replace(
+                cfg, runtime=dataclasses.replace(cfg.runtime,
+                                                 probe_override=probes_env))
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()

@@ -144,6 +144,12 @@ def main():
             cfg = dataclasses.replace(
                 cfg, runtime=dataclasses.replace(cfg.runtime,
                                                  probe_override=probes_env))
+        limit_env = int(os.environ.get("BENCH_LIMIT", 0))
+        if limit_env:
+            cfg = dataclasses.replace(
+                cfg, runtime=dataclasses.replace(
+                    cfg.runtime, refinement_limit=limit_env,
+                    max_global_candidates=limit_env))
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()

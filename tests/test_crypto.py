@@ -139,3 +139,25 @@ def test_atomic_persist_no_partial(tmp_path):
     km.rotate()
     # no .tmp left behind
     assert not os.path.exists(path + ".tmp")
+
+
+def test_long_message_cross_check_vs_cryptography_lib():
+    """Byte-exact agreement with an independent AES-GCM implementation at
+    lengths that exercise the VAES 256B-bulk path, the SSE 128B path, and
+    the block/partial tails (NIST vectors alone are too short to cover the
+    wide path)."""
+    pytest.importorskip("cryptography")
+    import secrets
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    from fspann_tpu.crypto.aesgcm import GcmKey
+
+    rng = np.random.default_rng(0)
+    for length in (16, 255, 256, 257, 512, 528, 1000, 4096):
+        key = secrets.token_bytes(32)
+        iv = secrets.token_bytes(12)
+        aad = secrets.token_bytes(32)
+        pt = rng.integers(0, 256, length, dtype=np.uint8).tobytes()
+        ours = GcmKey(key).seal(iv, pt, aad)
+        ref = AESGCM(key).encrypt(iv, pt, aad)
+        assert ours == ref, f"seal mismatch at len {length}"
+        assert GcmKey(key).open(iv, ref, aad) == pt

@@ -16,6 +16,9 @@
 #include <wmmintrin.h>  /* AES-NI + PCLMUL */
 #include <tmmintrin.h>  /* _mm_shuffle_epi8 */
 #include <smmintrin.h>  /* _mm_insert_epi32 */
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>  /* VAES / VPCLMULQDQ wide paths (runtime-gated) */
+#endif
 
 typedef struct {
     __m128i rk[15];   /* AES-256 round keys */
@@ -151,8 +154,74 @@ static inline __m128i ghash4(const gcm_ctx *ctx, __m128i y,
     return gcm_reduce(hi, lo);
 }
 
+/* VPCLMULQDQ path: 4 GHASH blocks per carry-less-multiply instruction.
+ * Blocks b0..b3 (b0 oldest) multiply H^4..H^1 held one per 128-bit lane;
+ * the four 256-bit partial products fold across lanes and reduce once.
+ * Runtime-gated; the SSE ghash4 below handles tails and older CPUs. */
+#if defined(__x86_64__) && defined(__GNUC__)
+static int fspann_has_vpclmul(void) {
+    static int cached = -1;
+    if (cached < 0)
+        cached = __builtin_cpu_supports("avx512f")
+                 && __builtin_cpu_supports("avx512bw")
+                 && __builtin_cpu_supports("vpclmulqdq");
+    return cached;
+}
+
+__attribute__((target("avx512f,avx512bw,vpclmulqdq")))
+static __m128i ghash_buf_vpclmul(const gcm_ctx *ctx, __m128i y,
+                                 const uint8_t *p, size_t len,
+                                 size_t *consumed) {
+    const __m512i rev = _mm512_broadcast_i32x4(
+        _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15));
+    __m512i hpow = _mm512_castsi128_si512(ctx->h[3]);      /* lane0: H^4 */
+    hpow = _mm512_inserti32x4(hpow, ctx->h[2], 1);
+    hpow = _mm512_inserti32x4(hpow, ctx->h[1], 2);
+    hpow = _mm512_inserti32x4(hpow, ctx->h[0], 3);
+    size_t done = 0;
+    while (len - done >= 64) {
+        __m512i blk = _mm512_loadu_si512((const void *)(p + done));
+        blk = _mm512_shuffle_epi8(blk, rev);
+        blk = _mm512_mask_xor_epi64(blk, 0x03, blk,
+                                    _mm512_castsi128_si512(y));
+        __m512i t00 = _mm512_clmulepi64_epi128(blk, hpow, 0x00);
+        __m512i t11 = _mm512_clmulepi64_epi128(blk, hpow, 0x11);
+        __m512i mid = _mm512_xor_si512(
+            _mm512_clmulepi64_epi128(blk, hpow, 0x10),
+            _mm512_clmulepi64_epi128(blk, hpow, 0x01));
+        __m512i lo512 = _mm512_xor_si512(t00, _mm512_bslli_epi128(mid, 8));
+        __m512i hi512 = _mm512_xor_si512(t11, _mm512_bsrli_epi128(mid, 8));
+        /* fold the four lanes' partial products */
+        __m256i lo256 = _mm256_xor_si256(_mm512_castsi512_si256(lo512),
+                                         _mm512_extracti64x4_epi64(lo512, 1));
+        __m256i hi256 = _mm256_xor_si256(_mm512_castsi512_si256(hi512),
+                                         _mm512_extracti64x4_epi64(hi512, 1));
+        __m128i lo = _mm_xor_si128(_mm256_castsi256_si128(lo256),
+                                   _mm256_extracti128_si256(lo256, 1));
+        __m128i hi = _mm_xor_si128(_mm256_castsi256_si128(hi256),
+                                   _mm256_extracti128_si256(hi256, 1));
+        y = gcm_reduce(hi, lo);
+        done += 64;
+    }
+    *consumed = done;
+    return y;
+}
+#else
+static int fspann_has_vpclmul(void) { return 0; }
+static __m128i ghash_buf_vpclmul(const gcm_ctx *ctx, __m128i y,
+                                 const uint8_t *p, size_t len,
+                                 size_t *consumed) {
+    (void)ctx; (void)p; (void)len; *consumed = 0; return y;
+}
+#endif
+
 static __m128i ghash_buf(const gcm_ctx *ctx, __m128i y, const uint8_t *p,
                          size_t len) {
+    if (fspann_has_vpclmul() && len >= 64) {
+        size_t done = 0;
+        y = ghash_buf_vpclmul(ctx, y, p, len, &done);
+        p += done; len -= done;
+    }
     while (len >= 64) {
         y = ghash4(ctx, y,
                    _mm_loadu_si128((const __m128i *)p),
@@ -211,8 +280,6 @@ static inline __m128i ctr_block(__m128i j0, uint32_t c) {
  * portable fallback and handles tails.  Measured ~2x on the record-open
  * hot path on Icelake-SP (VAES+AVX512). */
 #if defined(__x86_64__) && defined(__GNUC__)
-#include <immintrin.h>
-
 __attribute__((target("avx512f,avx512bw,vaes")))
 static size_t ctr_xcrypt_vaes(const gcm_ctx *ctx, __m128i j0,
                               const uint8_t *in, uint8_t *out, size_t len,

@@ -525,7 +525,16 @@ int fspann_gcm_open_batch_rec_id(const void *ctx,
                                  uint8_t *ok) {
     int failures = 0;
     uint8_t aad[32];
+    /* records sit at ~10-20KB strides (candidate sets are sparse in the
+     * arena) — beyond the hardware prefetcher's reach, so pull the next
+     * record's lines in while the current one is in the AES units */
+    const size_t rec_span = (size_t)tag_rel + 16;
     for (size_t i = 0; i < n; i++) {
+        if (i + 1 < n) {
+            const uint8_t *nxt = base + rec_off[i + 1];
+            for (size_t o = 0; o < rec_span; o += 64)
+                __builtin_prefetch(nxt + o, 0, 1);
+        }
         const uint8_t *rec = base + rec_off[i];
         fspann_format_aad(aad, (uint64_t)ids[i], key_version, dim);
         int rc = fspann_gcm_open(ctx, rec + iv_rel, aad, 32,

@@ -38,14 +38,27 @@ def main():
     ap.add_argument("--index-limit", type=int, default=None)
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--corpus", default="hard", choices=("hard", "easy"),
+                    help="synthetic corpus kind; 'hard' makes the gates "
+                         "informative (VERDICT r1: easy clusters pass "
+                         "SIFT-calibrated gates trivially)")
     args = ap.parse_args()
 
     from fspann_tpu.api.system import ForwardSecureANNSystem
     from fspann_tpu.config import load_config
     from fspann_tpu.io import groundtruth, loaders
 
-    cfg = load_config(args.config, args.profile) if args.config \
-        else load_config()
+    if args.config:
+        cfg = load_config(args.config, args.profile)
+    else:
+        # parity-grade profile: on the hard corpus the recall gate only
+        # passes if routing actually ranks well at a ~30% scan — random
+        # probing at the same scan fraction lands far below 0.85
+        cfg = load_config(overrides={
+            "paper": {"tables": 8},
+            "runtime": {"probe_override": 10, "block_size": 64,
+                        "refinement_limit": 16000,
+                        "max_global_candidates": 16000}})
 
     if args.data:
         base = loaders.load_vectors(args.data)
@@ -55,12 +68,10 @@ def main():
         queries = np.asarray(loaders.load_vectors(args.queries),
                              np.float32)[:args.query_limit]
     else:
-        rng = np.random.default_rng(3)
-        centers = rng.normal(size=(128, args.d)).astype(np.float32) * 6
-        base = centers[rng.integers(0, 128, args.n)] + \
-            rng.normal(size=(args.n, args.d)).astype(np.float32)
-        queries = centers[rng.integers(0, 128, args.query_limit)] + \
-            rng.normal(size=(args.query_limit, args.d)).astype(np.float32)
+        from fspann_tpu.io import synthetic
+        gen = synthetic.lsh_hard_corpus if args.corpus == "hard" \
+            else synthetic.easy_corpus
+        base, queries = gen(args.n, args.d, args.query_limit, seed=3)
 
     work = tempfile.mkdtemp(prefix="fspann_smoke_")
     try:

@@ -61,9 +61,10 @@ def _load() -> ctypes.CDLL:
             u8p, u64p, u64p, u8p, u64p, u8p]
         lib.fspann_gcm_open_batch_rec.restype = ctypes.c_int
         i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
         lib.fspann_gcm_open_batch_rec_id.argtypes = [
             vp, sz, u8p, u64p, u32, u32, u32, ctypes.c_uint64,
-            i64p, u32, u32, u8p, u64p, u8p]
+            i64p, u32, u32, u8p, u64p, u8p, f32p]
         lib.fspann_gcm_open_batch_rec_id.restype = ctypes.c_int
         lib.fspann_crc32_rows.argtypes = [u8p, sz, sz, u32p]
         _LIB = lib
@@ -122,24 +123,32 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
                              iv_rel: int, ct_rel: int, tag_rel: int,
                              ct_len: int, ids: np.ndarray, key_version: int,
                              dim: int, pt_flat: np.ndarray,
-                             pt_off: np.ndarray) -> np.ndarray:
+                             pt_off: np.ndarray,
+                             norms: np.ndarray | None = None) -> np.ndarray:
     """Single-key record open with the 32-byte AAD synthesized in C from
     (id, key_version, dim) — the query hot path.  Building the AAD matrix in
     numpy costs a full DRAM pass over the candidate set; in C it is a stack
     buffer touched in L1 right before GHASH (scripts/profile_decrypt.py
-    measured the numpy pass as large as the AES itself)."""
+    measured the numpy pass as large as the AES itself).
+
+    ``norms`` (f32, at least pt_off.max()/ct_len+1 long): per-row squared L2
+    of the decrypted f32 payload, computed while the row is in L1 — saves
+    the refine stage a full re-read of the candidate matrix."""
     lib = _load()
     n = len(rec_off)
     ok = np.empty(n, np.uint8)
     assert pt_flat.flags.c_contiguous
     ids = np.ascontiguousarray(ids, np.int64)
+    norms_ptr = None if norms is None else \
+        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     lib.fspann_gcm_open_batch_rec_id(
         key.ctx, n,
         _u8(base), _u64(np.ascontiguousarray(rec_off, np.uint64)),
         iv_rel, ct_rel, tag_rel, ct_len,
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         key_version, dim,
-        _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok))
+        _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok),
+        norms_ptr)
     return ok
 
 

@@ -522,7 +522,15 @@ int fspann_gcm_open_batch_rec_id(const void *ctx,
                                  const int64_t *ids, uint32_t key_version,
                                  uint32_t dim,
                                  uint8_t *pt, const uint64_t *pt_off,
-                                 uint8_t *ok) {
+                                 uint8_t *ok,
+                                 /* optional: squared-L2 norm of each
+                                  * decrypted f32 row, written at
+                                  * norms[pt_off[i]/ct_len] while the
+                                  * plaintext is still in L1 — saves the
+                                  * refine stage a full re-read pass over
+                                  * the candidate matrix.  NULL to skip;
+                                  * only meaningful for f32 payloads. */
+                                 float *norms) {
     int failures = 0;
     uint8_t aad[32];
     /* records sit at ~10-20KB strides (candidate sets are sparse in the
@@ -544,6 +552,20 @@ int fspann_gcm_open_batch_rec_id(const void *ctx,
         if (rc != 0) {
             memset(pt + pt_off[i], 0, ct_len);
             failures++;
+        }
+        if (norms) {
+            const float *v = (const float *)(pt + pt_off[i]);
+            size_t nd = ct_len / 4;
+            float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+            size_t j = 0;
+            for (; j + 4 <= nd; j += 4) {
+                acc0 += v[j] * v[j];
+                acc1 += v[j + 1] * v[j + 1];
+                acc2 += v[j + 2] * v[j + 2];
+                acc3 += v[j + 3] * v[j + 3];
+            }
+            for (; j < nd; j++) acc0 += v[j] * v[j];
+            norms[pt_off[i] / ct_len] = acc0 + acc1 + acc2 + acc3;
         }
     }
     return failures;

@@ -34,13 +34,17 @@ from ..types import QueryResult, QueryToken, SearchStats
 
 
 def _host_refine(qvecs: np.ndarray, cand_vecs: np.ndarray,
-                 cand_ids: np.ndarray, valid: np.ndarray, k: int):
+                 cand_ids: np.ndarray, valid: np.ndarray, k: int,
+                 c2: np.ndarray | None = None):
     """Stage C on the host: exact L2 + top-k via BLAS, same semantics as the
-    device refine kernel but no device transfer of candidate vectors."""
+    device refine kernel but no device transfer of candidate vectors.
+    ``c2`` (f32 [q, r]) supplies precomputed squared candidate norms (the
+    decrypt stage emits them from L1) — skips a full re-read pass."""
     q, r, d = cand_vecs.shape
-    cv = cand_vecs.reshape(q * r, d)
     dots = np.einsum("qrd,qd->qr", cand_vecs, qvecs, optimize=True)
-    c2 = np.einsum("ij,ij->i", cv, cv).reshape(q, r)
+    if c2 is None:
+        cv = cand_vecs.reshape(q * r, d)
+        c2 = np.einsum("ij,ij->i", cv, cv).reshape(q, r)
     q2 = np.einsum("ij,ij->i", qvecs, qvecs)
     d2 = c2 - 2.0 * dots + q2[:, None]
     d2 = np.where(valid, np.maximum(d2, 0.0), np.inf)
@@ -97,6 +101,7 @@ class QueryService:
         # a fresh candidate-set-sized calloc every batch; rows are masked by
         # `ok`, never read stale
         self._stage_buf = np.zeros(0, np.float32)
+        self._norms_buf = np.zeros(0, np.float32)
 
     # -- public ------------------------------------------------------------------
 
@@ -249,8 +254,11 @@ class QueryService:
         dim = self.index.dim
         if self._stage_buf.size < flat.size * dim:
             self._stage_buf = np.zeros(flat.size * dim, np.float32)
+            self._norms_buf = np.zeros(flat.size, np.float32)
         out = self._stage_buf[:flat.size * dim].reshape(flat.size, dim)
-        vecs_flat, ok_flat = self.store.load_decrypt_batch(flat, out=out)
+        norms = self._norms_buf[:flat.size]
+        vecs_flat, ok_flat = self.store.load_decrypt_batch(flat, out=out,
+                                                           norms_out=norms)
         cand_vecs = vecs_flat.reshape(q, r, dim)
         valid = ok_flat.reshape(q, r)
         if touched_parts is not None:
@@ -266,8 +274,11 @@ class QueryService:
             dists = np.array(res.distances, np.float32)
             n_scored = np.asarray(res.n_scored)
         else:
+            # c2 comes from the decrypt loop (f32 stores only; the f16
+            # path leaves norms unfilled and recomputes)
+            c2 = norms.reshape(q, r) if self.store.dtype == "f32" else None
             ids, dists, n_scored = _host_refine(qvecs, cand_vecs, cand_ids,
-                                                valid, k)
+                                                valid, k, c2=c2)
         t3 = time.perf_counter()
 
         stats = []

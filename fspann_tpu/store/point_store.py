@@ -228,7 +228,9 @@ class PointStore:
     # -- reads -----------------------------------------------------------------
 
     @_locked
-    def load_decrypt_batch(self, ids: np.ndarray, out: np.ndarray | None = None
+    def load_decrypt_batch(self, ids: np.ndarray,
+                           out: np.ndarray | None = None,
+                           norms_out: np.ndarray | None = None
                            ) -> tuple[np.ndarray, np.ndarray]:
         """Load + decrypt candidates.  ids int [n]; pad/missing/tombstoned
         entries yield ok=False.  Returns (vecs f32 [n, dim], ok bool [n]).
@@ -238,6 +240,10 @@ class PointStore:
         instead of zeros — only for hot-path callers that mask by ``ok``
         (page-faulting 100s of MB of fresh calloc per batch measurably beats
         the AES on this host).
+
+        ``norms_out`` (f32 [n]) receives each row's squared L2 norm,
+        computed in the C open loop while the row is in L1 (f32 stores
+        only; rows not ok are undefined — mask by ``ok``).
 
         Fully vectorized: one metadata gather, one mmap gather per live key
         version, ONE multi-key GCM open for the whole set (per-record key
@@ -294,7 +300,8 @@ class PointStore:
                 reader._buf, off_all[sel].astype(np.uint64),
                 iv_rel, ct_rel, tag_rel, body,
                 ids[sel], int(kv), self.dim,
-                staging, (sel * body).astype(np.uint64))
+                staging, (sel * body).astype(np.uint64),
+                norms=norms_out if self.dtype == "f32" else None)
             ok[sel] = ok_v.astype(bool)
         if self.dtype != "f32":
             with np.errstate(all="ignore"):

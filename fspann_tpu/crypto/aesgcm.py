@@ -64,7 +64,7 @@ def _load() -> ctypes.CDLL:
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.fspann_gcm_open_batch_rec_id.argtypes = [
             vp, sz, u8p, u64p, u32, u32, u32, ctypes.c_uint64,
-            i64p, u32, u32, u8p, u64p, u8p, f32p]
+            i64p, u32, u32, u8p, u64p, u8p, f32p, ctypes.c_int]
         lib.fspann_gcm_open_batch_rec_id.restype = ctypes.c_int
         lib.fspann_crc32_rows.argtypes = [u8p, sz, sz, u32p]
         _LIB = lib
@@ -133,7 +133,11 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
 
     ``norms`` (f32, at least pt_off.max()/ct_len+1 long): per-row squared L2
     of the decrypted f32 payload, computed while the row is in L1 — saves
-    the refine stage a full re-read of the candidate matrix."""
+    the refine stage a full re-read of the candidate matrix.
+
+    Parallelism: FSPANN_THREADS=N splits the batch across N pthreads
+    (disjoint output ranges — race-free); "auto" = os.cpu_count().  The
+    decrypt stage is the serving bottleneck and scales linearly with cores."""
     lib = _load()
     n = len(rec_off)
     ok = np.empty(n, np.uint8)
@@ -148,8 +152,20 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         key_version, dim,
         _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok),
-        norms_ptr)
+        norms_ptr, _num_threads())
     return ok
+
+
+def _num_threads() -> int:
+    """FSPANN_THREADS: decrypt-stage thread count (default 1; 'auto' =
+    cpu count).  Re-read per call so tests/operators can flip it live."""
+    v = os.environ.get("FSPANN_THREADS", "1")
+    if v == "auto":
+        return os.cpu_count() or 1
+    try:
+        return max(1, int(v))
+    except ValueError:
+        return 1
 
 
 def _u8(a: np.ndarray):

@@ -514,31 +514,32 @@ static inline void fspann_format_aad(uint8_t *out, uint64_t id, uint32_t kv,
 
 /* open_batch_rec variant for the query hot path: one key version per call,
  * AADs synthesized from the candidate ids instead of passed as a matrix. */
-int fspann_gcm_open_batch_rec_id(const void *ctx,
-                                 size_t n,
-                                 const uint8_t *base, const uint64_t *rec_off,
-                                 uint32_t iv_rel, uint32_t ct_rel,
-                                 uint32_t tag_rel, uint64_t ct_len,
-                                 const int64_t *ids, uint32_t key_version,
-                                 uint32_t dim,
-                                 uint8_t *pt, const uint64_t *pt_off,
-                                 uint8_t *ok,
-                                 /* optional: squared-L2 norm of each
-                                  * decrypted f32 row, written at
-                                  * norms[pt_off[i]/ct_len] while the
-                                  * plaintext is still in L1 — saves the
-                                  * refine stage a full re-read pass over
-                                  * the candidate matrix.  NULL to skip;
-                                  * only meaningful for f32 payloads. */
-                                 float *norms) {
+static int open_batch_rec_id_range(const void *ctx,
+                                   size_t lo, size_t hi,
+                                   const uint8_t *base,
+                                   const uint64_t *rec_off,
+                                   uint32_t iv_rel, uint32_t ct_rel,
+                                   uint32_t tag_rel, uint64_t ct_len,
+                                   const int64_t *ids, uint32_t key_version,
+                                   uint32_t dim,
+                                   uint8_t *pt, const uint64_t *pt_off,
+                                   uint8_t *ok,
+                                   /* optional: squared-L2 norm of each
+                                    * decrypted f32 row, written at
+                                    * norms[pt_off[i]/ct_len] while the
+                                    * plaintext is still in L1 — saves the
+                                    * refine stage a full re-read pass over
+                                    * the candidate matrix.  NULL to skip;
+                                    * only meaningful for f32 payloads. */
+                                   float *norms) {
     int failures = 0;
     uint8_t aad[32];
     /* records sit at ~10-20KB strides (candidate sets are sparse in the
      * arena) — beyond the hardware prefetcher's reach, so pull the next
      * record's lines in while the current one is in the AES units */
     const size_t rec_span = (size_t)tag_rel + 16;
-    for (size_t i = 0; i < n; i++) {
-        if (i + 1 < n) {
+    for (size_t i = lo; i < hi; i++) {
+        if (i + 1 < hi) {
             const uint8_t *nxt = base + rec_off[i + 1];
             for (size_t o = 0; o < rec_span; o += 64)
                 __builtin_prefetch(nxt + o, 0, 1);
@@ -567,6 +568,85 @@ int fspann_gcm_open_batch_rec_id(const void *ctx,
             for (; j < nd; j++) acc0 += v[j] * v[j];
             norms[pt_off[i] / ct_len] = acc0 + acc1 + acc2 + acc3;
         }
+    }
+    return failures;
+}
+
+#include <pthread.h>
+
+typedef struct {
+    const void *ctx;
+    size_t lo, hi;
+    const uint8_t *base;
+    const uint64_t *rec_off;
+    uint32_t iv_rel, ct_rel, tag_rel;
+    uint64_t ct_len;
+    const int64_t *ids;
+    uint32_t key_version, dim;
+    uint8_t *pt;
+    const uint64_t *pt_off;
+    uint8_t *ok;
+    float *norms;
+    int failures;
+} open_task;
+
+static void *open_worker(void *p) {
+    open_task *t = (open_task *)p;
+    t->failures = open_batch_rec_id_range(
+        t->ctx, t->lo, t->hi, t->base, t->rec_off, t->iv_rel, t->ct_rel,
+        t->tag_rel, t->ct_len, t->ids, t->key_version, t->dim, t->pt,
+        t->pt_off, t->ok, t->norms);
+    return NULL;
+}
+
+/* Batch open, optionally parallel.  Each record's outputs (ok[i],
+ * pt+pt_off[i], norms slot) are disjoint per index, so a contiguous range
+ * split is race-free; the expanded key context is read-only shared.  The
+ * decrypt stage is the serving bottleneck and scales linearly with cores —
+ * nthreads <= 1 keeps the single-threaded path (this build host has one
+ * core; production hosts set FSPANN_THREADS). */
+int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
+                                 const uint8_t *base, const uint64_t *rec_off,
+                                 uint32_t iv_rel, uint32_t ct_rel,
+                                 uint32_t tag_rel, uint64_t ct_len,
+                                 const int64_t *ids, uint32_t key_version,
+                                 uint32_t dim,
+                                 uint8_t *pt, const uint64_t *pt_off,
+                                 uint8_t *ok, float *norms, int nthreads) {
+    if (nthreads <= 1 || n < 1024) {
+        return open_batch_rec_id_range(ctx, 0, n, base, rec_off, iv_rel,
+                                       ct_rel, tag_rel, ct_len, ids,
+                                       key_version, dim, pt, pt_off, ok,
+                                       norms);
+    }
+    enum { MAX_THREADS = 64 };
+    if (nthreads > MAX_THREADS) nthreads = MAX_THREADS;
+    open_task tasks[MAX_THREADS];
+    pthread_t tids[MAX_THREADS];
+    size_t per = (n + (size_t)nthreads - 1) / (size_t)nthreads;
+    int spawned = 0;
+    for (int t = 0; t < nthreads; t++) {
+        size_t lo = (size_t)t * per;
+        if (lo >= n) break;
+        size_t hi = lo + per < n ? lo + per : n;
+        open_task task = {ctx, lo, hi, base, rec_off, iv_rel, ct_rel,
+                          tag_rel, ct_len, ids, key_version, dim, pt,
+                          pt_off, ok, norms, 0};
+        tasks[t] = task;
+        if (t == nthreads - 1 || hi == n) {
+            /* run the last slice on the calling thread */
+            tasks[t].failures = open_batch_rec_id_range(
+                ctx, lo, hi, base, rec_off, iv_rel, ct_rel, tag_rel, ct_len,
+                ids, key_version, dim, pt, pt_off, ok, norms);
+            spawned = t;
+            break;
+        }
+        pthread_create(&tids[t], NULL, open_worker, &tasks[t]);
+    }
+    int failures = tasks[spawned].failures;
+    for (int t = 0; t < spawned; t++) {
+        pthread_join(tids[t], NULL);
+        failures += tasks[t].failures;
     }
     return failures;
 }

@@ -161,3 +161,28 @@ def test_long_message_cross_check_vs_cryptography_lib():
         ref = AESGCM(key).encrypt(iv, pt, aad)
         assert ours == ref, f"seal mismatch at len {length}"
         assert GcmKey(key).open(iv, ref, aad) == pt
+
+
+def test_multithreaded_batch_open_identical(tmp_path, monkeypatch):
+    """FSPANN_THREADS splits the batch across pthreads with disjoint output
+    ranges — results must be bit-identical to single-threaded, including
+    per-record failures."""
+    import secrets
+    from fspann_tpu.store.point_store import PointStore
+
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = PointStore(str(tmp_path / "db"), km, dim=16)
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(3000, 16)).astype(np.float32)
+    s.insert_batch(np.arange(3000), vecs)
+    ids = rng.integers(-5, 3100, 4000)       # includes missing/negative
+    v1, ok1 = s.load_decrypt_batch(ids)
+    monkeypatch.setenv("FSPANN_THREADS", "3")
+    v2, ok2 = s.load_decrypt_batch(ids)
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_array_equal(v1, v2)
+    norms = np.zeros(len(ids), np.float32)
+    v3, ok3 = s.load_decrypt_batch(ids, norms_out=norms)
+    np.testing.assert_allclose(
+        norms[ok3], np.einsum("ij,ij->i", v3[ok3], v3[ok3]), rtol=1e-5)
+    s.close()

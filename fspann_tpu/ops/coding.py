@@ -236,15 +236,19 @@ def encode_numpy(x: np.ndarray, bank: GBank
     m, lam, w = bank.m, bank.lam, bank.code_words
     hu = h.astype(np.uint32)
     shifts = np.arange(lam - 1, -1, -1, dtype=np.uint32)
-    bits = (hu[..., None, :] >> shifts[:, None]) & np.uint32(1)
+    # uint8 bit matrix + np.packbits (MSB-first — exactly the weight order
+    # of the packed-word layout): the previous u64 multiply-sum allocated
+    # ~4GB of temporaries per 100k x G=48 ingest batch and dominated large
+    # builds on the host path
+    bits = (((hu[..., None, :] >> shifts[:, None]) & np.uint32(1))
+            .astype(np.uint8))
     bits = bits.reshape(*h.shape[:-1], lam * m)
     pad = w * 32 - lam * m
     if pad:
         bits = np.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-    bits = bits.reshape(*h.shape[:-1], w, 32)
-    weights = (np.uint32(1) << (np.uint32(31)
-                                - np.arange(32, dtype=np.uint32)))
-    codes = (bits.astype(np.uint64) * weights).sum(-1).astype(np.uint32)
+    packed = np.packbits(bits, axis=-1)            # [..., w*4] bytes
+    codes = (np.ascontiguousarray(packed)
+             .view(">u4").astype(np.uint32))       # [..., w] MSB-first words
 
     k = codes[..., 0].astype(np.int64) << 31
     if w > 1:

@@ -1,0 +1,110 @@
+"""Distributed encrypted serving facade: mesh routing + sharded ciphertext
+stores behind one object.
+
+The single-chip ``ForwardSecureANNSystem`` composes PartitionedIndex +
+PointStore; this is its mesh-scale counterpart: the device mesh holds ONLY
+routing state (per-shard partition tables — no vector content, same
+routing–ciphertext orthogonality as the single-chip design), hosts hold
+shard-aligned encrypted arenas (``ShardedPointStore``, range placement
+matching device shards), and a query is:
+
+  stage A  per-shard multi-probe routing + ICI all_gather merge
+           (``ShardedIndex.route`` — candidate ids only cross the wire)
+  stage B  batched multi-key AES-GCM opens from the shard arenas
+  stage C  exact L2 + top-k on the host (BLAS)
+
+The reference has no distributed analogue (its only scale-out is N local
+RocksDB shards, common/ShardedMetadataManager.java); this is the
+"v5e-8 stretch" configuration of BASELINE.json made a first-class API.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..crypto.keys import KeyManager
+from ..ops import coding
+from ..query.service import _host_refine
+from ..store.sharded_store import ShardedPointStore
+from .sharded import ShardedIndex, make_mesh
+
+
+class DistributedEncryptedSystem:
+    """Trusted-eval surface (queries in plaintext at the serving boundary,
+    like the reference's server-side token decrypt); payloads encrypted at
+    rest, forward-secure rotation via the shared keystore."""
+
+    def __init__(self, cfg: SystemConfig, base_dir: str, dim: int,
+                 mesh=None, key_manager: KeyManager | None = None):
+        self.cfg = cfg
+        self.dim = dim
+        self.mesh = mesh or make_mesh()
+        self.ndev = self.mesh.devices.size
+        os.makedirs(base_dir, exist_ok=True)
+        self.km = key_manager if key_manager is not None else KeyManager(
+            os.path.join(base_dir, "keystore.blob"),
+            retention_max=cfg.keys.retention_max)
+        self.store = ShardedPointStore(base_dir, self.km, dim,
+                                       num_shards=self.ndev,
+                                       placement="range")
+        self.index: ShardedIndex | None = None
+        self.n = 0
+
+    # -- build -----------------------------------------------------------------
+
+    def build(self, base: np.ndarray, sample: int = 1000) -> None:
+        """Encrypt + persist the corpus into shard-aligned arenas and build
+        the mesh routing tables.  The plaintext is NOT kept in device HBM
+        (keep_base=False)."""
+        base = np.asarray(base, np.float32)
+        self.n = len(base)
+        pp = self.cfg.paper
+        bank = coding.build_bank_from_sample(
+            base[:sample], pp.m, pp.lam, pp.tables, pp.divisions, pp.seed,
+            pp.omega_divisor)
+        self.index = ShardedIndex(self.mesh, bank,
+                                  block_size=self.cfg.runtime.block_size)
+        self.index.build(base, keep_base=False)
+        self.store.set_range_size(self.index.shard_rows)
+        self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
+
+    # -- query -----------------------------------------------------------------
+
+    def search_batch(self, queries: np.ndarray, k: int,
+                     probe_shards: int | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (ids int64 [Q, K] with -1 pad, distances f32 [Q, K])."""
+        if self.index is None:
+            raise RuntimeError("build() before search")
+        rt = self.cfg.runtime
+        queries = np.asarray(queries, np.float32)
+        cand_ids, _scores = self.index.route(
+            queries, probes=rt.effective_probes(),
+            refinement_limit=rt.refinement_limit, probe_shards=probe_shards)
+        q, r = cand_ids.shape
+        flat = cand_ids.reshape(-1).astype(np.int64)
+        vecs, ok = self.store.load_decrypt_batch(flat,
+                                                 probe_shards=probe_shards)
+        return _host_refine(queries, vecs.reshape(q, r, self.dim),
+                            cand_ids.astype(np.int64), ok.reshape(q, r),
+                            k)[:2]
+
+    # -- forward security --------------------------------------------------------
+
+    def rotate_and_migrate(self, ids=None):
+        """Rotate the shared key and migrate the given ids (default: every
+        live point) to the new version — rotation never touches the mesh
+        routing state."""
+        self.km.rotate()
+        if ids is None:
+            ids = np.arange(self.n, dtype=np.int64)
+        return self.store.reencrypt_ids(ids)
+
+    def size_bytes(self) -> int:
+        return self.store.size_bytes()
+
+    def close(self) -> None:
+        self.store.close()

@@ -56,12 +56,18 @@ class ShardedIndex:
 
     # -- build ------------------------------------------------------------------
 
-    def build(self, base: np.ndarray) -> None:
+    def build(self, base: np.ndarray, keep_base: bool = True) -> None:
         """Pad to the mesh size, encode + build per-shard partitions.
 
         Sharding layout: every array's leading-N axis is split over the mesh
         axis; group/partition axes stay local, so the build sort and all
         query gathers are shard-local (no collectives until the final merge).
+
+        ``keep_base=False`` drops the plaintext corpus from HBM after the
+        routing tables are built — the ENCRYPTED serving mode: the device
+        holds only LSH routing state (codes/keys/partitions, no vector
+        content), exactly like the single-chip index; refine happens on the
+        hosts against the shard-aligned ciphertext stores.
         """
         n = len(base)
         nd = self.n_devices
@@ -92,7 +98,8 @@ class ShardedIndex:
             return jax.tree.map(lambda x: x[None], table)
 
         self.table = build_local(base_dev)     # fields: [ndev, G, P, ...]
-        self.base = base_dev
+        jax.block_until_ready(self.table)
+        self.base = base_dev if keep_base else None
 
     # -- query ------------------------------------------------------------------
 
@@ -149,9 +156,72 @@ class ShardedIndex:
 
         return step
 
+    def route_step_fn(self, probes: int, refinement_limit: int,
+                      probe_shards: int | None = None):
+        """Route-ONLY sharded step for encrypted serving: per-shard
+        multi-probe routing, global-id conversion, ICI all_gather of the
+        per-shard ranked (id, score) blocks, replicated merge by Hamming
+        score.  No vector content touches the device — the candidate ids
+        go back to the hosts for decrypt+refine against the shard-aligned
+        ciphertext arenas."""
+        bank = self.bank
+        axis = self.axis
+        rows = self.shard_rows
+        n = self.n
+        limit = refinement_limit
+        shard_cap = self.n_devices if probe_shards is None \
+            else max(1, min(probe_shards, self.n_devices))
+        pad32 = jnp.iinfo(jnp.int32).max
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(jax.tree.map(lambda _: P(axis), self.table),
+                           P(None)),
+                 out_specs=(P(None), P(None)),
+                 check_vma=False)
+        def step(table_stacked, queries):
+            table = jax.tree.map(lambda x: x[0], table_stacked)
+            qcodes, qkeys = coding.encode(queries, bank)
+            local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
+            local_valid &= jax.lax.axis_index(axis) < shard_cap
+            routed = routing.route(table, qcodes, qkeys, ~local_valid,
+                                   probes, limit)
+            live = routed.ids >= 0
+            gids = jnp.where(live,
+                             routed.ids + jax.lax.axis_index(axis) * rows,
+                             pad32)
+            scores = jnp.where(live, routed.scores, pad32)
+            all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            all_sc = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
+            sc, ids = jax.lax.sort((all_sc, all_ids), dimension=-1,
+                                   num_keys=2)
+            r = min(limit, ids.shape[-1])
+            ids = jnp.where(ids[:, :r] == pad32, -1, ids[:, :r])
+            return ids, sc[:, :r]
+
+        return step
+
+    def route(self, queries: np.ndarray, probes: int = 5,
+              refinement_limit: int = 2048,
+              probe_shards: int | None = None):
+        """Candidate generation across the mesh (encrypted serving stage A):
+        ranked global candidate ids [Q, R] (-1 pad) + Hamming scores."""
+        key = ("route", probes, refinement_limit, probe_shards)
+        step = self._steps.get(key)
+        if step is None:
+            step = jax.jit(self.route_step_fn(probes, refinement_limit,
+                                              probe_shards))
+            self._steps[key] = step
+        ids, sc = step(self.table, jnp.asarray(queries, jnp.float32))
+        return np.asarray(ids), np.asarray(sc)
+
     def query(self, queries: np.ndarray, probes: int = 5,
               refinement_limit: int = 2048, k: int = 10,
               probe_shards: int | None = None):
+        if self.base is None:
+            raise RuntimeError(
+                "plaintext refine unavailable: index built with "
+                "keep_base=False (encrypted mode) — use route() + host "
+                "decrypt/refine")
         key = (probes, refinement_limit, k, probe_shards)
         step = self._steps.get(key)
         if step is None:

@@ -72,3 +72,47 @@ def test_sharded_encrypted_pipeline(tmp_path, rng):
     assert (ok2 == ok).all()
     np.testing.assert_allclose(vecs2, vecs, rtol=1e-6)
     store.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_distributed_encrypted_system_facade(tmp_path, rng):
+    """DistributedEncryptedSystem: build (no plaintext kept in HBM) ->
+    encrypted search -> rotation leaves results bit-identical."""
+    from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, q, k = 2048, 16, 6, 10
+    centers = rng.normal(size=(16, d)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, n)] + \
+        rng.normal(size=(n, d)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32)
+
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=512,
+                              max_global_candidates=512,
+                              default_probes=4, block_size=32)).validate()
+    sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / "db"), d)
+    try:
+        sys_.build(base)
+        assert sys_.index.base is None        # no plaintext in HBM
+        ids, dists = sys_.search_batch(queries, k)
+        assert ids.shape == (q, k)
+        gt_ids, _ = refine.bruteforce_topk(base, queries, k)
+        hits = sum(len(set(ids[i][ids[i] >= 0].tolist())
+                       & set(gt_ids[i].tolist())) for i in range(q))
+        assert hits / (q * k) > 0.9
+
+        rep = sys_.rotate_and_migrate()
+        assert rep.reencrypted == n
+        ids2, dists2 = sys_.search_batch(queries, k)
+        np.testing.assert_array_equal(ids, ids2)
+        np.testing.assert_allclose(dists, dists2, rtol=1e-6)
+
+        # probe_shards subset: results restricted to the first shards' rows
+        ids3, _ = sys_.search_batch(queries, k, probe_shards=2)
+        live = ids3[ids3 >= 0]
+        assert (live < 2 * sys_.index.shard_rows).all()
+    finally:
+        sys_.close()

@@ -68,6 +68,14 @@ class RuntimeConfig:
     probe_override: int = -1          # -1 => default probes
     default_probes: int = 5           # reference PartitionedIndexService.java:93
     hamming_prefilter_threshold: int = 0  # 0 = disabled
+    # Full-code re-rank (TPU-native stage A.5): when > 0, the index keeps
+    # every point's packed codes in HBM and re-scores the routed candidate
+    # set by exact multi-table code Hamming (the per-CANDIDATE refinement of
+    # the reference's partition-level hammingPrefilterThreshold,
+    # QueryServiceImpl.java:167-214), truncating the decrypt set to this
+    # many ids.  Uses only information the server already holds (the codes),
+    # so the leakage profile is unchanged; costs G*W words/point of HBM.
+    rerank_limit: int = 0
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
     # Where ingestion encoding + partition build run: "default" (the
@@ -92,6 +100,13 @@ class RuntimeConfig:
 
     def effective_probes(self) -> int:
         return self.probe_override if self.probe_override > 0 else self.default_probes
+
+    def effective_refinement(self) -> int:
+        """Candidates actually decrypted per query: the rerank truncation
+        when enabled, else the full refinement limit."""
+        if 0 < self.rerank_limit < self.refinement_limit:
+            return self.rerank_limit
+        return self.refinement_limit
 
 
 @dataclass(frozen=True)
@@ -167,6 +182,10 @@ class SystemConfig:
             refinement_limit=_clamp(rt.refinement_limit, self.eval.max_k, 10_000_000),
             block_size=_clamp(rt.block_size, 1, 1 << 16),
         )
+        if rt.rerank_limit > 0:
+            rt = dataclasses.replace(
+                rt, rerank_limit=_clamp(rt.rerank_limit, self.eval.max_k,
+                                        rt.refinement_limit))
         return dataclasses.replace(self, runtime=rt)
 
 
@@ -209,6 +228,7 @@ _FIELD_ALIASES = {
     "backgroundBatch": "background_batch",
     "storageDtype": "storage_dtype",
     "encodeBackend": "encode_backend",
+    "rerankLimit": "rerank_limit",
 }
 
 

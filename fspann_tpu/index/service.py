@@ -63,6 +63,10 @@ class PartitionedIndex:
         self.bank: coding.GBank | None = None
         self.frozen = False
         self.table: PartitionTable | None = None
+        # uint32 [N, G, W] per-point packed codes, device-resident only when
+        # runtime.rerank_limit > 0 (the full-code re-rank stage needs them;
+        # G*W words/point of HBM — e.g. 192MB at 1M rows, G=24, W=2)
+        self.point_codes = None
         # staging
         self._bank_cpu = None
         self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
@@ -209,6 +213,8 @@ class PartitionedIndex:
         self._row_ids = ids.astype(np.int64)
         self._dense = bool(len(ids) and ids[0] == 0
                            and ids[-1] == len(ids) - 1)
+        if self.cfg.runtime.rerank_limit > 0:
+            self.point_codes = jax.device_put(codes)
         if self.cfg.runtime.encode_backend == "cpu":
             # sort/build on the host too (numpy), then ship the compact
             # table to the session device in one transfer
@@ -279,6 +285,10 @@ class PartitionedIndex:
         limit = refinement_limit or rt.refinement_limit
         res = routing.route(self.table, qcodes, qkeys, self._tombstones(),
                             probes, limit)
+        if (self.point_codes is not None
+                and 0 < rt.rerank_limit < res.ids.shape[1]):
+            res = routing.rerank(self.point_codes, jnp.asarray(qcodes), res,
+                                 rt.rerank_limit)
         if not self._dense:
             rid = np.asarray(res.ids)
             mapped = np.where(rid >= 0, self._row_ids[np.maximum(rid, 0)], -1)
@@ -304,6 +314,9 @@ class PartitionedIndex:
         pp = self.cfg.paper
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
+        extra = {}
+        if self.point_codes is not None:
+            extra["point_codes"] = np.asarray(self.point_codes)
         np.savez(tmp,
                  min_key=np.asarray(t.min_key), max_key=np.asarray(t.max_key),
                  rep_codes=np.asarray(t.rep_codes), ids=np.asarray(t.ids),
@@ -311,7 +324,7 @@ class PartitionedIndex:
                  dense=self._dense, n_rows=self._n_rows, dim=self.dim,
                  m=pp.m, lam=pp.lam, tables=pp.tables,
                  divisions=pp.divisions, seed=pp.seed,
-                 block=self.cfg.runtime.block_size)
+                 block=self.cfg.runtime.block_size, **extra)
         os.replace(tmp + ".npz", path)
 
     def load_table(self, path: str, expect_rows: int | None = None) -> bool:
@@ -329,6 +342,11 @@ class PartitionedIndex:
             return False
         if expect_rows is not None and int(z["n_rows"]) != expect_rows:
             return False
+        if self.cfg.runtime.rerank_limit > 0:
+            if "point_codes" not in z.files:
+                return False   # checkpoint predates rerank — rebuild path
+            self.point_codes = jax.device_put(
+                z["point_codes"].astype(np.uint32))
         self.table = jax.device_put(PartitionTable(
             z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),
             z["ids"].astype(np.int32), z["counts"].astype(np.int32)))

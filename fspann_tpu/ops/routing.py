@@ -189,3 +189,37 @@ def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     rscore = rscore[:, :r]
     rid = jnp.where(rid == INT32_MAX, -1, rid)
     return RouteResult(rid, rscore, n_unique, n_raw)
+
+
+@partial(jax.jit, static_argnames=("limit",))
+def rerank(point_codes: jax.Array, qcodes: jax.Array, res: RouteResult,
+           limit: int) -> RouteResult:
+    """Full-code re-rank: truncate the routed set by exact code Hamming.
+
+    The partition-level score in :func:`route` is Hamming(query, block
+    repCode) — every id in a probed block shares one coarse score.  This
+    stage re-scores each candidate by the Hamming distance between the
+    query's and the candidate's OWN packed codes summed across ALL
+    (table, division) groups — the multi-probe LSH collision statistic at
+    per-point resolution — and keeps the best ``limit``.  It is the
+    per-candidate refinement of the reference's stage-A.5 ranked Hamming
+    prefilter (QueryServiceImpl.java:167-214), computed from data the
+    server already stores (the codes), so leakage is unchanged while the
+    decrypt set (the AES wall) shrinks.
+
+    Args:
+      point_codes: uint32 [N, G, W] packed codes in dense row order.
+      qcodes: uint32 [Q, G, W] packed query codes.
+      res: ranked output of :func:`route` (ids are row indices, -1 pad).
+      limit: decrypt budget L — ids kept per query after re-ranking.
+    """
+    q, g, w = qcodes.shape
+    rid = res.ids                                              # [Q, R]
+    safe = jnp.maximum(rid, 0)
+    pc = point_codes[safe].reshape(q, rid.shape[1], g * w)     # [Q, R, G*W]
+    fine = hamming(qcodes.reshape(q, 1, g * w), pc)            # [Q, R]
+    fine = jnp.where(rid >= 0, fine, _INF)
+    fscore, fid = jax.lax.sort((fine, rid), dimension=-1, num_keys=2)
+    r = min(limit, rid.shape[-1])
+    return RouteResult(fid[:, :r], fscore[:, :r],
+                       jnp.minimum(res.n_unique, r), res.n_raw)

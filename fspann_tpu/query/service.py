@@ -207,9 +207,11 @@ class QueryService:
         return out
 
     def _need_retry(self, s: SearchStats, k: int) -> bool:
-        """Reference needRetry:444-447: returned < K or decrypted < 10*K."""
+        """Reference needRetry:444-447: returned < K or decrypted < 10*K.
+        The decrypt budget is the post-rerank truncation when the full-code
+        re-rank is enabled (else every query would retry forever)."""
         return s.returned < k or s.cand_decrypted < min(
-            10 * k, self.cfg.runtime.refinement_limit)
+            10 * k, self.cfg.runtime.effective_refinement())
 
     def _dispatch_route(self, tokens, probes, limit):
         """Stage A dispatch — returns (routed, ids_slice, pred) without

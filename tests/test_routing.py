@@ -218,3 +218,50 @@ def test_route_matches_oracle_wide_codes(rng):
                                                 np.asarray(res.scores[qi]))
                if x >= 0]
         assert got == expected, f"q={qi}"
+
+
+def _popcount_bits(words_row):
+    """Total set bits of a uint32 word array (numpy oracle)."""
+    return int(np.unpackbits(words_row.view(np.uint8)).sum())
+
+
+def test_rerank_matches_numpy_oracle(rng):
+    base, bank, codes, keys, table = build_index(rng, n=400, block=16)
+    queries = rng.normal(size=(12, 24)).astype(np.float32) * 4
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    tomb = jnp.zeros(base.shape[0], bool)
+    res = routing.route(table, qc, qk, tomb, max_probes=3,
+                        refinement_limit=200)
+    limit = 40
+    rer = routing.rerank(jnp.asarray(codes), qc, res, limit)
+    codes_np = np.asarray(codes)    # [N, G, W]
+    qc_np = np.asarray(qc)
+    ids_np = np.asarray(res.ids)
+    for qi in range(12):
+        cand = [int(x) for x in ids_np[qi] if x >= 0]
+        fine = {c: _popcount_bits(np.bitwise_xor(codes_np[c], qc_np[qi]))
+                for c in cand}
+        exp = sorted(cand, key=lambda c: (fine[c], c))[:limit]
+        got_ids = [int(x) for x in np.asarray(rer.ids[qi]) if x >= 0]
+        got_scores = [int(s) for x, s in zip(np.asarray(rer.ids[qi]),
+                                             np.asarray(rer.scores[qi]))
+                      if x >= 0]
+        assert got_ids == exp, f"q={qi}"
+        assert got_scores == [fine[c] for c in exp], f"q={qi}"
+        assert int(rer.n_unique[qi]) == min(int(res.n_unique[qi]), limit)
+
+
+def test_rerank_keeps_pads_when_underfull(rng):
+    """Fewer live candidates than the limit: pads stay -1 / INF at the end."""
+    base, bank, codes, keys, table = build_index(rng, n=60, block=16)
+    queries = rng.normal(size=(3, 24)).astype(np.float32)
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    res = routing.route(table, qc, qk, jnp.zeros(60, bool), 2, 500)
+    rer = routing.rerank(jnp.asarray(codes), qc, res, 500)
+    ids = np.asarray(rer.ids)
+    scores = np.asarray(rer.scores)
+    for qi in range(3):
+        n = int(rer.n_unique[qi])
+        assert (ids[qi, :n] >= 0).all()
+        assert (ids[qi, n:] == -1).all()
+        assert np.all(np.diff(scores[qi, :n]) >= 0)

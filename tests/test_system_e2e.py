@@ -400,3 +400,48 @@ def test_query_cache_does_not_alias_nearby_queries(tmp_path, corpus):
         assert [r.id for r in r1b] == [r.id for r in r1]
     finally:
         sys_.shutdown()
+
+
+def test_rerank_pipeline_recall_and_budget(tmp_path, corpus):
+    """Full-code rerank: decrypt set shrinks to the budget with recall held
+    (the fine Hamming score ranks true neighbors into the truncated set)."""
+    base, queries = corpus
+    cfg = small_cfg(rerank_limit=150)
+    sys_ = ForwardSecureANNSystem(cfg, str(tmp_path / "rr"), DIM,
+                                  query_batch=8)
+    try:
+        sys_.index_stream(base, batch_size=400)
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries, k=10)
+        agg = sys_.run_queries(queries, gtm, base)
+        # decrypt budget enforced: nobody decrypts more than rerank_limit
+        assert agg.mean_cand_decrypted <= 150
+        assert agg.recall_at_k[10] > 0.85, agg.paper_line()
+    finally:
+        sys_.shutdown()
+
+
+def test_rerank_fast_restore_roundtrip(tmp_path, corpus):
+    """Fast restore persists the point codes; a restored system with rerank
+    enabled returns bit-identical results."""
+    base, queries = corpus
+    cfg = small_cfg(rerank_limit=150)
+    root = str(tmp_path / "rrr")
+    sys_ = ForwardSecureANNSystem(cfg, root, DIM, query_batch=8)
+    try:
+        sys_.index_stream(base, batch_size=400)
+        sys_.finalize_for_search()
+        tok = sys_.create_token(queries[0], 10)
+        before = [(r.id, round(r.distance, 5)) for r in sys_.search(tok)]
+        sys_.flush_all()
+    finally:
+        sys_.shutdown()
+    sys2 = ForwardSecureANNSystem(cfg, root, DIM, query_batch=8)
+    try:
+        assert sys2.restore_index_from_disk()
+        assert sys2.index.point_codes is not None
+        tok2 = sys2.create_token(queries[0], 10)
+        after = [(r.id, round(r.distance, 5)) for r in sys2.search(tok2)]
+        assert before == after
+    finally:
+        sys2.shutdown()

@@ -67,7 +67,8 @@ class DistributedEncryptedSystem:
             pp.omega_divisor)
         self.index = ShardedIndex(self.mesh, bank,
                                   block_size=self.cfg.runtime.block_size)
-        self.index.build(base, keep_base=False)
+        self.index.build(base, keep_base=False,
+                         keep_codes=self.cfg.runtime.rerank_limit > 0)
         self.store.set_range_size(self.index.shard_rows)
         self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
 
@@ -83,7 +84,8 @@ class DistributedEncryptedSystem:
         queries = np.asarray(queries, np.float32)
         cand_ids, _scores = self.index.route(
             queries, probes=rt.effective_probes(),
-            refinement_limit=rt.refinement_limit, probe_shards=probe_shards)
+            refinement_limit=rt.refinement_limit, probe_shards=probe_shards,
+            rerank_limit=rt.rerank_limit)
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1).astype(np.int64)
         vecs, ok = self.store.load_decrypt_batch(flat,

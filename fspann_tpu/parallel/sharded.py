@@ -50,13 +50,15 @@ class ShardedIndex:
         self.n_devices = mesh.devices.size
         self.table: PartitionTable | None = None
         self.base: jax.Array | None = None
+        self.point_codes: jax.Array | None = None   # [N_pad, G, W] sharded
         self.shard_rows = 0
         self.n = 0
         self._steps: dict = {}   # jitted step cache per (probes, limit, k)
 
     # -- build ------------------------------------------------------------------
 
-    def build(self, base: np.ndarray, keep_base: bool = True) -> None:
+    def build(self, base: np.ndarray, keep_base: bool = True,
+              keep_codes: bool = False) -> None:
         """Pad to the mesh size, encode + build per-shard partitions.
 
         Sharding layout: every array's leading-N axis is split over the mesh
@@ -68,6 +70,9 @@ class ShardedIndex:
         holds only LSH routing state (codes/keys/partitions, no vector
         content), exactly like the single-chip index; refine happens on the
         hosts against the shard-aligned ciphertext stores.
+
+        ``keep_codes=True`` additionally keeps each shard's per-point packed
+        codes in HBM for the full-code rerank stage (G*W words/point).
         """
         n = len(base)
         nd = self.n_devices
@@ -87,7 +92,7 @@ class ShardedIndex:
         block = self.block_size
 
         @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=P(self.axis), out_specs=P(self.axis))
+                 in_specs=P(self.axis), out_specs=(P(self.axis), P(self.axis)))
         def build_local(vecs):
             codes, keys = coding.encode(vecs, bank)                  # local N
             table = partition.build_partitions(
@@ -95,10 +100,11 @@ class ShardedIndex:
                 jnp.transpose(codes, (1, 0, 2)), block)
             # leading axis of each field must be the sharded one for
             # out_specs; stack under a fresh leading axis per shard
-            return jax.tree.map(lambda x: x[None], table)
+            return jax.tree.map(lambda x: x[None], table), codes
 
-        self.table = build_local(base_dev)     # fields: [ndev, G, P, ...]
+        self.table, codes_dev = build_local(base_dev)  # [ndev, G, P, ...]
         jax.block_until_ready(self.table)
+        self.point_codes = codes_dev if keep_codes else None
         self.base = base_dev if keep_base else None
 
     # -- query ------------------------------------------------------------------
@@ -157,13 +163,21 @@ class ShardedIndex:
         return step
 
     def route_step_fn(self, probes: int, refinement_limit: int,
-                      probe_shards: int | None = None):
+                      probe_shards: int | None = None,
+                      rerank_limit: int = 0):
         """Route-ONLY sharded step for encrypted serving: per-shard
         multi-probe routing, global-id conversion, ICI all_gather of the
         per-shard ranked (id, score) blocks, replicated merge by Hamming
         score.  No vector content touches the device — the candidate ids
         go back to the hosts for decrypt+refine against the shard-aligned
-        ciphertext arenas."""
+        ciphertext arenas.
+
+        ``rerank_limit > 0`` (needs build(keep_codes=True)) re-scores each
+        shard's routed set by exact full-code Hamming (ops/routing.rerank)
+        and truncates LOCALLY before the collective — the global top-L by
+        fine score is contained in the union of per-shard top-Ls, so the
+        merge is exact while the ICI payload shrinks from refinement_limit
+        to rerank_limit per shard."""
         bank = self.bank
         axis = self.axis
         rows = self.shard_rows
@@ -172,19 +186,26 @@ class ShardedIndex:
         shard_cap = self.n_devices if probe_shards is None \
             else max(1, min(probe_shards, self.n_devices))
         pad32 = jnp.iinfo(jnp.int32).max
+        use_rerank = rerank_limit > 0
+        if use_rerank and self.point_codes is None:
+            raise RuntimeError("rerank requires build(keep_codes=True)")
+        codes_spec = (P(axis),) if use_rerank else ()
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(jax.tree.map(lambda _: P(axis), self.table),
-                           P(None)),
+                           P(None)) + codes_spec,
                  out_specs=(P(None), P(None)),
                  check_vma=False)
-        def step(table_stacked, queries):
+        def step(table_stacked, queries, *maybe_codes):
             table = jax.tree.map(lambda x: x[0], table_stacked)
             qcodes, qkeys = coding.encode(queries, bank)
             local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
             local_valid &= jax.lax.axis_index(axis) < shard_cap
             routed = routing.route(table, qcodes, qkeys, ~local_valid,
                                    probes, limit)
+            if use_rerank:
+                routed = routing.rerank(maybe_codes[0], qcodes, routed,
+                                        rerank_limit)
             live = routed.ids >= 0
             gids = jnp.where(live,
                              routed.ids + jax.lax.axis_index(axis) * rows,
@@ -194,7 +215,7 @@ class ShardedIndex:
             all_sc = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
             sc, ids = jax.lax.sort((all_sc, all_ids), dimension=-1,
                                    num_keys=2)
-            r = min(limit, ids.shape[-1])
+            r = min(rerank_limit if use_rerank else limit, ids.shape[-1])
             ids = jnp.where(ids[:, :r] == pad32, -1, ids[:, :r])
             return ids, sc[:, :r]
 
@@ -202,16 +223,20 @@ class ShardedIndex:
 
     def route(self, queries: np.ndarray, probes: int = 5,
               refinement_limit: int = 2048,
-              probe_shards: int | None = None):
+              probe_shards: int | None = None,
+              rerank_limit: int = 0):
         """Candidate generation across the mesh (encrypted serving stage A):
         ranked global candidate ids [Q, R] (-1 pad) + Hamming scores."""
-        key = ("route", probes, refinement_limit, probe_shards)
+        key = ("route", probes, refinement_limit, probe_shards, rerank_limit)
         step = self._steps.get(key)
         if step is None:
             step = jax.jit(self.route_step_fn(probes, refinement_limit,
-                                              probe_shards))
+                                              probe_shards, rerank_limit))
             self._steps[key] = step
-        ids, sc = step(self.table, jnp.asarray(queries, jnp.float32))
+        args = (self.table, jnp.asarray(queries, jnp.float32))
+        if rerank_limit > 0:
+            args += (self.point_codes,)
+        ids, sc = step(*args)
         return np.asarray(ids), np.asarray(sc)
 
     def query(self, queries: np.ndarray, probes: int = 5,

@@ -116,3 +116,75 @@ def test_distributed_encrypted_system_facade(tmp_path, rng):
         assert (live < 2 * sys_.index.shard_rows).all()
     finally:
         sys_.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_sharded_rerank_matches_global_fine_hamming(rng):
+    """Mesh route with rerank: per-shard fine-Hamming truncation + merge
+    equals the global top-L by full-code Hamming over the routed union."""
+    n, d = 1024, 16
+    base = rng.normal(size=(n, d)).astype(np.float32) * 3
+    queries = base[rng.integers(0, n, 5)] + \
+        rng.normal(size=(5, d)).astype(np.float32) * 0.1
+
+    mesh = make_mesh()
+    bank = coding.build_bank_from_sample(base[:1000], m=8, lam=2, tables=3,
+                                         divisions=2, seed=13)
+    idx = ShardedIndex(mesh, bank, block_size=32)
+    idx.build(base, keep_base=False, keep_codes=True)
+
+    # width ≥ per-shard G*probes*block so no local or global truncation:
+    # `wide` is then exactly the union of per-shard routed sets, which is
+    # the pool the per-shard rerank truncation draws from
+    wide_r = 1024
+    wide, _ = idx.route(queries, probes=3, refinement_limit=wide_r)
+    limit = 60
+    got_ids, got_sc = idx.route(queries, probes=3, refinement_limit=wide_r,
+                                rerank_limit=limit)
+
+    codes_all, _ = coding.encode(jnp.asarray(base), bank)
+    codes_np = np.asarray(codes_all)        # [N, G, W]
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qc_np = np.asarray(qc)
+    for qi in range(len(queries)):
+        cand = [int(x) for x in wide[qi] if x >= 0]
+        fine = {c: int(np.unpackbits(np.bitwise_xor(
+            codes_np[c], qc_np[qi]).view(np.uint8)).sum()) for c in cand}
+        exp = sorted(cand, key=lambda c: (fine[c], c))[:limit]
+        got = [int(x) for x in got_ids[qi] if x >= 0]
+        assert got == exp, f"q={qi}"
+        live_sc = [int(s) for x, s in zip(got_ids[qi], got_sc[qi]) if x >= 0]
+        assert live_sc == [fine[c] for c in exp]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_distributed_system_rerank_recall(tmp_path, rng):
+    """DistributedEncryptedSystem with rerank: the truncated decrypt set
+    still recovers the true neighbors."""
+    import dataclasses
+    from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, q, k = 2048, 16, 6, 10
+    centers = rng.normal(size=(16, d)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, n)] + \
+        rng.normal(size=(n, d)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32)
+
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=600, max_global_candidates=600,
+                              block_size=32, rerank_limit=200)).validate()
+    sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / "dist_rr"), d)
+    try:
+        sys_.build(base)
+        ids, dists = sys_.search_batch(queries, k)
+        assert ids.shape == (q, k)
+        # brute-force ground truth
+        d2 = ((base[None] - queries[:, None]) ** 2).sum(-1)
+        gt = np.argsort(d2, axis=1)[:, :k]
+        hits = sum(len(set(ids[i]) & set(gt[i])) for i in range(q))
+        assert hits / (q * k) > 0.9
+    finally:
+        sys_.close()

@@ -129,10 +129,15 @@ def main():
         profile = os.environ.get("BENCH_PROFILE", "parity")
         paper_kw, rt_kw = {}, {}
         if profile == "parity" and corpus_kind == "hard":
+            # route wide (38k) but decrypt only the 4k best by full-code
+            # Hamming rerank — holds recall@10 0.654 vs 0.655 at 1M
+            # (scripts/calib_rerank_1m.py) while cutting the AES wall and
+            # the candidate transfer ~8.6x
             paper_kw = {"tables": 8}
             rt_kw = {"probe_override": 12, "block_size": 128,
                      "refinement_limit": 38000,
-                     "max_global_candidates": 38000}
+                     "max_global_candidates": 38000,
+                     "rerank_limit": 4000}
         cfg = dataclasses.replace(
             cfg,
             paper=dataclasses.replace(cfg.paper, **paper_kw),
@@ -150,6 +155,11 @@ def main():
                 cfg, runtime=dataclasses.replace(
                     cfg.runtime, refinement_limit=limit_env,
                     max_global_candidates=limit_env))
+        rerank_env = os.environ.get("BENCH_RERANK")
+        if rerank_env is not None:   # "0" disables the parity default
+            cfg = dataclasses.replace(
+                cfg, runtime=dataclasses.replace(
+                    cfg.runtime, rerank_limit=int(rerank_env)))
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()

@@ -283,12 +283,17 @@ class PartitionedIndex:
         rt = self.cfg.runtime
         probes = probes or rt.effective_probes()
         limit = refinement_limit or rt.refinement_limit
-        res = routing.route(self.table, qcodes, qkeys, self._tombstones(),
-                            probes, limit)
-        if (self.point_codes is not None
-                and 0 < rt.rerank_limit < res.ids.shape[1]):
-            res = routing.rerank(self.point_codes, jnp.asarray(qcodes), res,
-                                 rt.rerank_limit)
+        if self.point_codes is not None and rt.rerank_limit > 0:
+            # fused probe→dedup→fine-score→top_k (skips the coarse ranking
+            # sort; candidate pool = full probed set, decrypt set = best
+            # rerank_limit by exact code Hamming)
+            res = routing.route_rerank(self.table, jnp.asarray(qcodes),
+                                       qkeys, self._tombstones(),
+                                       self.point_codes, probes,
+                                       rt.rerank_limit)
+        else:
+            res = routing.route(self.table, qcodes, qkeys,
+                                self._tombstones(), probes, limit)
         if not self._dense:
             rid = np.asarray(res.ids)
             mapped = np.where(rid >= 0, self._row_ids[np.maximum(rid, 0)], -1)

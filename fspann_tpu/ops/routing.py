@@ -119,20 +119,14 @@ def _greedy_interval(ham_w: jax.Array, max_probes: int):
     return lo, hi
 
 
-@partial(jax.jit, static_argnames=("max_probes", "refinement_limit"))
-def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
-          tombstones: jax.Array, max_probes: int,
-          refinement_limit: int) -> RouteResult:
-    """Stage A for a batch of queries: candidate ids ranked by Hamming score.
+def _route_dedup(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
+                 tombstones: jax.Array, max_probes: int):
+    """Shared front half of the route: probe walk → gather → dedup.
 
-    Args:
-      table: built PartitionTable (all groups).
-      qcodes: uint32 [Q, G, W] packed query codes.
-      qkeys: int64 [Q, G] query sort keys.
-      tombstones: bool [N] deleted-id mask (device-resident; reference checks
-        ``metadata.isDeleted`` per id, PartitionedIndexService.java:726-753).
-      max_probes: partitions probed per group (effectiveMaxProbes).
-      refinement_limit: R — ranked candidates returned per query.
+    Returns ``(sid, sscore, n_unique, n_raw)`` where ``sid``/``sscore`` are
+    the flat probed candidates sorted by (id, score) with duplicates and
+    pads masked to INT32_MAX/_INF — i.e. id-ascending among the live
+    entries.
     """
     q, g, w = qcodes.shape
     p = table.num_partitions
@@ -181,6 +175,26 @@ def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     n_unique = jnp.sum(live, axis=-1, dtype=jnp.int32)
     sid = jnp.where(live, sid, INT32_MAX)
     sscore = jnp.where(live, sscore, _INF)
+    return sid, sscore, n_unique, n_raw
+
+
+@partial(jax.jit, static_argnames=("max_probes", "refinement_limit"))
+def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
+          tombstones: jax.Array, max_probes: int,
+          refinement_limit: int) -> RouteResult:
+    """Stage A for a batch of queries: candidate ids ranked by Hamming score.
+
+    Args:
+      table: built PartitionTable (all groups).
+      qcodes: uint32 [Q, G, W] packed query codes.
+      qkeys: int64 [Q, G] query sort keys.
+      tombstones: bool [N] deleted-id mask (device-resident; reference checks
+        ``metadata.isDeleted`` per id, PartitionedIndexService.java:726-753).
+      max_probes: partitions probed per group (effectiveMaxProbes).
+      refinement_limit: R — ranked candidates returned per query.
+    """
+    sid, sscore, n_unique, n_raw = _route_dedup(table, qcodes, qkeys,
+                                                tombstones, max_probes)
 
     # Final ranking by (score, id); truncate to R.
     rscore, rid = jax.lax.sort((sscore, sid), dimension=-1, num_keys=2)
@@ -189,6 +203,35 @@ def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     rscore = rscore[:, :r]
     rid = jnp.where(rid == INT32_MAX, -1, rid)
     return RouteResult(rid, rscore, n_unique, n_raw)
+
+
+@partial(jax.jit, static_argnames=("max_probes", "limit"))
+def route_rerank(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
+                 tombstones: jax.Array, point_codes: jax.Array,
+                 max_probes: int, limit: int) -> RouteResult:
+    """Fused stage A + full-code rerank: ONE top_k instead of two sorts.
+
+    Equivalent to ``rerank(point_codes, qcodes, route(...), limit)`` when
+    the route's refinement_limit does not truncate (and a strict superset
+    of its candidate pool otherwise): the coarse (score, id) ranking sort
+    is skipped entirely — the fine score re-orders everything anyway — and
+    the fine-score truncation uses ``lax.top_k`` on the id-sorted deduped
+    array, whose lower-index tie-break reproduces the (fine, id) order
+    bit-exactly.  Cuts two [Q, G·probes·B]-wide sorts from the serving
+    step's critical path.
+    """
+    q, g, w = qcodes.shape
+    sid, sscore, n_unique, n_raw = _route_dedup(table, qcodes, qkeys,
+                                                tombstones, max_probes)
+    safe = jnp.minimum(sid, point_codes.shape[0] - 1)   # pads=INT32_MAX
+    pc = point_codes[safe].reshape(q, sid.shape[1], g * w)
+    fine = hamming(qcodes.reshape(q, 1, g * w), pc)
+    fine = jnp.where(sid != INT32_MAX, fine, _INF)
+    k = min(limit, sid.shape[-1])
+    neg, idx = jax.lax.top_k(-fine, k)
+    rid = jnp.take_along_axis(sid, idx, axis=-1)
+    rid = jnp.where(rid == INT32_MAX, -1, rid)
+    return RouteResult(rid, -neg, jnp.minimum(n_unique, k), n_raw)
 
 
 @partial(jax.jit, static_argnames=("limit",))

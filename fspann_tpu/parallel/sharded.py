@@ -201,11 +201,13 @@ class ShardedIndex:
             qcodes, qkeys = coding.encode(queries, bank)
             local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
             local_valid &= jax.lax.axis_index(axis) < shard_cap
-            routed = routing.route(table, qcodes, qkeys, ~local_valid,
-                                   probes, limit)
             if use_rerank:
-                routed = routing.rerank(maybe_codes[0], qcodes, routed,
-                                        rerank_limit)
+                routed = routing.route_rerank(table, qcodes, qkeys,
+                                              ~local_valid, maybe_codes[0],
+                                              probes, rerank_limit)
+            else:
+                routed = routing.route(table, qcodes, qkeys, ~local_valid,
+                                       probes, limit)
             live = routed.ids >= 0
             gids = jnp.where(live,
                              routed.ids + jax.lax.axis_index(axis) * rows,

@@ -265,3 +265,41 @@ def test_rerank_keeps_pads_when_underfull(rng):
         assert (ids[qi, :n] >= 0).all()
         assert (ids[qi, n:] == -1).all()
         assert np.all(np.diff(scores[qi, :n]) >= 0)
+
+
+def test_route_rerank_fused_equals_two_stage(rng):
+    """route_rerank == rerank(route(un-truncated)) bit-exactly: the top_k
+    over the id-sorted dedup array reproduces the (fine, id) tie-break."""
+    base, bank, codes, keys, table = build_index(rng, n=400, block=16)
+    queries = rng.normal(size=(10, 24)).astype(np.float32) * 4
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    tomb = jnp.zeros(base.shape[0], bool)
+    # flat probed width = G * probes * block = 4*3*16 = 192 < 400 -> no
+    # truncation in the wide route, so pools are identical
+    wide = routing.route(table, qc, qk, tomb, max_probes=3,
+                         refinement_limit=400)
+    limit = 50
+    two = routing.rerank(jnp.asarray(codes), qc, wide, limit)
+    fused = routing.route_rerank(table, qc, qk, tomb, jnp.asarray(codes),
+                                 max_probes=3, limit=limit)
+    np.testing.assert_array_equal(np.asarray(two.ids), np.asarray(fused.ids))
+    live = np.asarray(two.ids) >= 0
+    np.testing.assert_array_equal(np.asarray(two.scores)[live],
+                                  np.asarray(fused.scores)[live])
+    np.testing.assert_array_equal(np.asarray(two.n_unique),
+                                  np.asarray(fused.n_unique))
+
+
+def test_route_rerank_respects_tombstones(rng):
+    base, bank, codes, keys, table = build_index(rng, n=300, block=16)
+    queries = base[:4] + 0.01
+    qc, qk = coding.encode(jnp.asarray(queries), bank)
+    res0 = routing.route_rerank(table, qc, qk, jnp.zeros(300, bool),
+                                jnp.asarray(codes), 3, 80)
+    dead = [int(x) for x in np.asarray(res0.ids[0]) if x >= 0][:8]
+    tomb = np.zeros(300, bool)
+    tomb[dead] = True
+    res1 = routing.route_rerank(table, qc, qk, jnp.asarray(tomb),
+                                jnp.asarray(codes), 3, 80)
+    got = {int(x) for x in np.asarray(res1.ids[0]) if x >= 0}
+    assert not (got & set(dead))

@@ -129,15 +129,16 @@ def main():
         profile = os.environ.get("BENCH_PROFILE", "parity")
         paper_kw, rt_kw = {}, {}
         if profile == "parity" and corpus_kind == "hard":
-            # route wide (38k) but decrypt only the 4k best by full-code
-            # Hamming rerank — holds recall@10 0.654 vs 0.655 at 1M
-            # (scripts/calib_rerank_1m.py) while cutting the AES wall and
-            # the candidate transfer ~8.6x
+            # route WIDE (probes 16, ~49k probed) but decrypt only the 2k
+            # best by full-code Hamming rerank: recall@10 0.682 /
+            # recall@100 0.559 at 1M (scripts/calib_rerank_1m.py) — above
+            # the reference's SIFT_P4_FAST 0.5506 anchor — with a 17x
+            # smaller AES/transfer volume than decrypting the routed set
             paper_kw = {"tables": 8}
-            rt_kw = {"probe_override": 12, "block_size": 128,
-                     "refinement_limit": 38000,
-                     "max_global_candidates": 38000,
-                     "rerank_limit": 4000}
+            rt_kw = {"probe_override": 16, "block_size": 128,
+                     "refinement_limit": 56000,
+                     "max_global_candidates": 56000,
+                     "rerank_limit": 2000}
         cfg = dataclasses.replace(
             cfg,
             paper=dataclasses.replace(cfg.paper, **paper_kw),

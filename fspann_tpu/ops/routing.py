@@ -120,13 +120,16 @@ def _greedy_interval(ham_w: jax.Array, max_probes: int):
 
 
 def _route_dedup(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
-                 tombstones: jax.Array, max_probes: int):
+                 tombstones: jax.Array, max_probes: int,
+                 need_scores: bool = True):
     """Shared front half of the route: probe walk → gather → dedup.
 
     Returns ``(sid, sscore, n_unique, n_raw)`` where ``sid``/``sscore`` are
     the flat probed candidates sorted by (id, score) with duplicates and
     pads masked to INT32_MAX/_INF — i.e. id-ascending among the live
-    entries.
+    entries.  ``need_scores=False`` skips the score co-sort (a 1-key sort
+    instead of 2-key — the rerank path recomputes scores anyway) and
+    returns ``sscore=None``.
     """
     q, g, w = qcodes.shape
     p = table.num_partitions
@@ -168,13 +171,19 @@ def _route_dedup(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     n_raw = jnp.sum(valid.reshape(q, -1), axis=-1, dtype=jnp.int32)
 
     # Dedupe keeping min score: sort by (id, score); first of each id-run wins.
-    sid, sscore = jax.lax.sort((flat_ids, flat_scores), dimension=-1, num_keys=2)
+    if need_scores:
+        sid, sscore = jax.lax.sort((flat_ids, flat_scores), dimension=-1,
+                                   num_keys=2)
+    else:
+        sid = jax.lax.sort(flat_ids, dimension=-1)
+        sscore = None
     first = jnp.concatenate(
         [jnp.ones((q, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=-1)
     live = first & (sid != INT32_MAX)
     n_unique = jnp.sum(live, axis=-1, dtype=jnp.int32)
     sid = jnp.where(live, sid, INT32_MAX)
-    sscore = jnp.where(live, sscore, _INF)
+    if need_scores:
+        sscore = jnp.where(live, sscore, _INF)
     return sid, sscore, n_unique, n_raw
 
 
@@ -205,10 +214,11 @@ def route(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     return RouteResult(rid, rscore, n_unique, n_raw)
 
 
-@partial(jax.jit, static_argnames=("max_probes", "limit"))
+@partial(jax.jit, static_argnames=("max_probes", "limit", "approx"))
 def route_rerank(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
                  tombstones: jax.Array, point_codes: jax.Array,
-                 max_probes: int, limit: int) -> RouteResult:
+                 max_probes: int, limit: int,
+                 approx: bool = False) -> RouteResult:
     """Fused stage A + full-code rerank: ONE top_k instead of two sorts.
 
     Equivalent to ``rerank(point_codes, qcodes, route(...), limit)`` when
@@ -221,14 +231,26 @@ def route_rerank(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     step's critical path.
     """
     q, g, w = qcodes.shape
-    sid, sscore, n_unique, n_raw = _route_dedup(table, qcodes, qkeys,
-                                                tombstones, max_probes)
+    sid, _, n_unique, n_raw = _route_dedup(table, qcodes, qkeys,
+                                           tombstones, max_probes,
+                                           need_scores=False)
     safe = jnp.minimum(sid, point_codes.shape[0] - 1)   # pads=INT32_MAX
     pc = point_codes[safe].reshape(q, sid.shape[1], g * w)
     fine = hamming(qcodes.reshape(q, 1, g * w), pc)
     fine = jnp.where(sid != INT32_MAX, fine, _INF)
     k = min(limit, sid.shape[-1])
-    neg, idx = jax.lax.top_k(-fine, k)
+    if approx:
+        # TPU-native PartialReduce truncation (lax.approx_max_k): each true
+        # top-L element is kept with ~recall_target probability — the ~2%
+        # it may drop are fine-score BOUNDARY candidates, the least likely
+        # true neighbors, so end recall is statistically unchanged while
+        # the truncation is much cheaper than exact top_k at large L.
+        # Deterministic given shapes (restore-equality safe).
+        neg, idx = jax.lax.approx_max_k(-fine.astype(jnp.float32), k,
+                                        recall_target=0.98)
+        neg = neg.astype(jnp.int32)
+    else:
+        neg, idx = jax.lax.top_k(-fine, k)
     rid = jnp.take_along_axis(sid, idx, axis=-1)
     rid = jnp.where(rid == INT32_MAX, -1, rid)
     return RouteResult(rid, -neg, jnp.minimum(n_unique, k), n_raw)

@@ -41,12 +41,10 @@ def main():
         print(f"gt {time.time()-t0:.0f}s", flush=True)
 
         points = [
-            ("p12_R38k_rr0",   12, 38_000, 0),
-            ("p12_R38k_rr4k",  12, 38_000, 4_000),
-            ("p12_R38k_rr8k",  12, 38_000, 8_000),
-            ("p16_R56k_rr8k",  16, 56_000, 8_000),
-            ("p20_R93k_rr8k",  20, 93_000, 8_000),
-            ("p20_R93k_rr16k", 20, 93_000, 16_000),
+            ("p12_R38k_rr2k",  12, 38_000, 2_000),
+            ("p16_R56k_rr4k",  16, 56_000, 4_000),
+            ("p16_R56k_rr2k",  16, 56_000, 2_000),
+            ("p20_R93k_rr4k",  20, 93_000, 4_000),
         ]
         for tag, probes, limit, rr in points:
             rt = dataclasses.replace(cfg.runtime, probe_override=probes,

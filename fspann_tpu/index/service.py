@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SystemConfig
-from ..ops import coding, partition, routing
+from ..ops import coding, hamming_scan, partition, routing
 from ..ops.partition import PartitionTable
 
 
@@ -67,6 +67,8 @@ class PartitionedIndex:
         # runtime.rerank_limit > 0 (the full-code re-rank stage needs them;
         # G*W words/point of HBM — e.g. 192MB at 1M rows, G=24, W=2)
         self.point_codes = None
+        # unpacked int8 bit matrix + popcounts (routing_mode == "scan")
+        self._scan_state: hamming_scan.ScanState | None = None
         # staging
         self._bank_cpu = None
         self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
@@ -215,6 +217,10 @@ class PartitionedIndex:
                            and ids[-1] == len(ids) - 1)
         if self.cfg.runtime.rerank_limit > 0:
             self.point_codes = jax.device_put(codes)
+        if self.cfg.runtime.routing_mode == "scan":
+            self._scan_state = hamming_scan.build_scan_state(
+                np.asarray(codes), self.cfg.paper.code_bits)
+            self._scan_codes = np.asarray(codes)   # persisted by save_table
         if self.cfg.runtime.encode_backend == "cpu":
             # sort/build on the host too (numpy), then ship the compact
             # table to the session device in one transfer
@@ -283,7 +289,14 @@ class PartitionedIndex:
         rt = self.cfg.runtime
         probes = probes or rt.effective_probes()
         limit = refinement_limit or rt.refinement_limit
-        if self.point_codes is not None and rt.rerank_limit > 0:
+        if rt.routing_mode == "scan" and self._scan_state is not None:
+            # MXU Hamming scan: global fine ranking, probes are moot
+            qbits = jnp.asarray(hamming_scan.unpack_bits_numpy(
+                np.asarray(qcodes), self.cfg.paper.code_bits))
+            res = hamming_scan.scan(self._scan_state, qbits,
+                                    self._tombstones(),
+                                    rt.effective_refinement())
+        elif self.point_codes is not None and rt.rerank_limit > 0:
             # fused probe→dedup→fine-score→top_k (skips the coarse ranking
             # sort; candidate pool = full probed set, decrypt set = best
             # rerank_limit by exact code Hamming)
@@ -322,6 +335,8 @@ class PartitionedIndex:
         extra = {}
         if self.point_codes is not None:
             extra["point_codes"] = np.asarray(self.point_codes)
+        elif getattr(self, "_scan_codes", None) is not None:
+            extra["point_codes"] = self._scan_codes
         np.savez(tmp,
                  min_key=np.asarray(t.min_key), max_key=np.asarray(t.max_key),
                  rep_codes=np.asarray(t.rep_codes), ids=np.asarray(t.ids),
@@ -347,11 +362,17 @@ class PartitionedIndex:
             return False
         if expect_rows is not None and int(z["n_rows"]) != expect_rows:
             return False
-        if self.cfg.runtime.rerank_limit > 0:
+        rt = self.cfg.runtime
+        if rt.rerank_limit > 0 or rt.routing_mode == "scan":
             if "point_codes" not in z.files:
-                return False   # checkpoint predates rerank — rebuild path
-            self.point_codes = jax.device_put(
-                z["point_codes"].astype(np.uint32))
+                return False   # checkpoint predates rerank/scan — rebuild
+            codes = z["point_codes"].astype(np.uint32)
+            if rt.rerank_limit > 0:
+                self.point_codes = jax.device_put(codes)
+            if rt.routing_mode == "scan":
+                self._scan_state = hamming_scan.build_scan_state(
+                    codes, self.cfg.paper.code_bits)
+                self._scan_codes = codes
         self.table = jax.device_put(PartitionTable(
             z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),
             z["ids"].astype(np.int32), z["counts"].astype(np.int32)))

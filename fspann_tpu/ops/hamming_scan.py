@@ -1,0 +1,106 @@
+"""MXU Hamming scan: full-corpus fine-score ranking as an int8 bit matmul.
+
+The probe+rerank pipeline bounds work by gathering candidate codes — but on
+TPU the random-row gather is the expensive part (measured 290-390ms/batch at
+1M vs 37ms for the whole coarse route, scripts/bench_route_device.py), while
+the MXU can score EVERY point's full code against the query batch in a
+fraction of a millisecond:
+
+    Hamming(q, c) = popcount(q) + popcount(c) - 2 * <bits(q), bits(c)>
+
+so ranking by Hamming is ranking by ``popc[c] - 2 * dot`` — one
+``[Q, B] x [B, N]`` int8→int32 matmul (B = G·m·λ total code bits) plus a
+top-L.  This replaces the reference's whole stage-A machinery (probe queue
+over partitions, PartitionedIndexService.java:592-715, plus its stage-A.5
+prefilter) with an exact *global* fine ranking — strictly better recall
+than any probe schedule at the same decrypt budget L, with zero probe-miss
+failure modes.  HBM cost: N·B int8 (1.15 GB at 1M×1152 bits).
+
+Routing–ciphertext orthogonality is unchanged: the scan state is a pure
+function of the LSH codes the server already stores.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .routing import RouteResult
+
+_INF = jnp.int32(jnp.iinfo(jnp.int32).max)
+
+
+class ScanState(NamedTuple):
+    bits: jax.Array   # int8 [N, B] unpacked 0/1 code bits (MSB-first order)
+    popc: jax.Array   # int32 [N] popcount per point
+
+
+def unpack_bits_numpy(codes: np.ndarray, code_bits: int) -> np.ndarray:
+    """uint32 packed words [N, G, W] → int8 bit matrix [N, G*code_bits].
+
+    Word packing is MSB-first (ops/coding.py), so big-endian byte view +
+    ``np.unpackbits`` reproduces the bit order; each group's trailing pad
+    bits (W*32 - code_bits) are dropped.
+    """
+    n, g, w = codes.shape
+    by = np.ascontiguousarray(codes.astype(">u4")).view(np.uint8)
+    bits = np.unpackbits(by.reshape(n, g, w * 4), axis=-1)  # [N, G, W*32]
+    return np.ascontiguousarray(
+        bits[:, :, :code_bits].reshape(n, g * code_bits)).astype(np.int8)
+
+
+def build_scan_state(codes: np.ndarray, code_bits: int,
+                     chunk: int = 262_144) -> ScanState:
+    """Host-side unpack (chunked to bound peak memory) + device upload."""
+    n = codes.shape[0]
+    parts = []
+    for lo in range(0, n, chunk):
+        parts.append(unpack_bits_numpy(codes[lo:lo + chunk], code_bits))
+    bits = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    popc = bits.sum(axis=1, dtype=np.int32)
+    return ScanState(jax.device_put(bits), jax.device_put(popc))
+
+
+@partial(jax.jit, static_argnames=("limit", "approx"))
+def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
+         limit: int, approx: bool = True) -> RouteResult:
+    """Global fine-Hamming ranking: top-``limit`` ids per query.
+
+    Args:
+      state: corpus bit matrix + popcounts.
+      qbits: int8 [Q, B] unpacked query code bits.
+      tombstones: bool [N] deleted mask.
+      limit: L — decrypt budget per query.
+      approx: use ``lax.approx_max_k`` (TPU PartialReduce; each true top-L
+        element kept with ~98% probability — the misses are fine-score
+        boundary candidates, statistically irrelevant to end recall).
+        ``False`` = exact ``lax.top_k``.
+    """
+    n = state.bits.shape[0]
+    # MXU int8 dot: [Q, B] x [N, B]^T -> int32 [Q, N]
+    dots = jax.lax.dot_general(
+        qbits, state.bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)          # [Q]
+    part = state.popc[None, :] - 2 * dots                     # rank key
+    part = jnp.where(tombstones[None, :], _INF, part)
+    k = min(limit, n)
+    if approx:
+        neg, idx = jax.lax.approx_max_k(-part.astype(jnp.float32), k,
+                                        recall_target=0.98)
+        fine_sel = (-neg).astype(jnp.int32)
+    else:
+        neg, idx = jax.lax.top_k(-part, k)
+        fine_sel = -neg
+    ids = idx.astype(jnp.int32)
+    scores = fine_sel + qpopc[:, None]
+    live = fine_sel < _INF
+    ids = jnp.where(live, ids, -1)
+    scores = jnp.where(live, scores, _INF)
+    n_live = jnp.sum(live, axis=-1, dtype=jnp.int32)
+    return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n))

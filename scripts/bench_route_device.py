@@ -49,5 +49,48 @@ def main():
     ids = np.asarray(out.ids)
     print(f"transfer [64,4000] ids: {(time.perf_counter()-t0)*1000:.1f} ms", flush=True)
 
+
+
+def scan_bench():
+    import jax, jax.numpy as jnp
+    from fspann_tpu.ops import coding, hamming_scan
+    n, d, qb = 1_000_000, 128, 64
+    m, lam, tables, div = 24, 2, 8, 3
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    bank = coding.build_bank_from_sample(base[:1000], m, lam, tables,
+                                         div, 13)
+    bank = coding.GBank(np.asarray(bank.alpha), np.asarray(bank.r),
+                        np.asarray(bank.omega), m, lam, tables, div, 13)
+    codes, _ = coding.encode_numpy(base, bank)
+    import time as _t
+    t0 = _t.perf_counter()
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    jax.block_until_ready(state.bits)
+    print(f"scan state build+upload: {_t.perf_counter()-t0:.1f}s "
+          f"({state.bits.nbytes/1e9:.2f} GB)", flush=True)
+    queries = base[rng.integers(0, n, qb)] + 0.1
+    qc, _ = coding.encode_numpy(queries, bank)
+    qbits = jnp.asarray(hamming_scan.unpack_bits_numpy(qc, bank.code_bits))
+    tomb = jnp.zeros(n, bool)
+
+    def timed(tag, fn, reps=5):
+        fn(); jax.block_until_ready(fn())
+        t0 = _t.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = (_t.perf_counter() - t0) / reps * 1000
+        print(f"{tag}: {dt:.1f} ms/batch ({dt/qb:.2f} ms/q)", flush=True)
+
+    timed("scan L=2k approx", lambda: hamming_scan.scan(state, qbits, tomb, 2000))
+    timed("scan L=2k exact", lambda: hamming_scan.scan(state, qbits, tomb, 2000, approx=False))
+    timed("scan L=8k approx", lambda: hamming_scan.scan(state, qbits, tomb, 8000))
+
+
 if __name__ == "__main__":
-    main()
+    import os
+    if os.environ.get("SCAN"):
+        scan_bench()
+    else:
+        main()

@@ -1,0 +1,131 @@
+"""MXU Hamming scan (ops/hamming_scan.py): oracle + system-level tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fspann_tpu.ops import coding, hamming_scan
+
+
+def _mk(rng, n=500, d=24, m=10, lam=2, tables=2, divisions=2, seed=3):
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    bank = coding.build_bank_from_sample(base[:256], m, lam, tables,
+                                         divisions, seed)
+    codes, keys = coding.encode(jnp.asarray(base), bank)
+    return base, bank, np.asarray(codes)
+
+
+def test_unpack_bits_msb_first(rng):
+    base, bank, codes = _mk(rng)
+    bits = hamming_scan.unpack_bits_numpy(codes, bank.code_bits)
+    n, g, w = codes.shape
+    assert bits.shape == (n, g * bank.code_bits)
+    # manual extraction (same convention as tests/test_routing.py oracles)
+    for i in (0, 7, n - 1):
+        for gi in range(g):
+            for p in range(bank.code_bits):
+                want = (codes[i, gi, p // 32] >> np.uint32(31 - p % 32)) & 1
+                got = bits[i, gi * bank.code_bits + p]
+                assert got == want, (i, gi, p)
+
+
+def test_scan_exact_matches_numpy_oracle(rng):
+    base, bank, codes = _mk(rng, n=400)
+    queries = rng.normal(size=(9, 24)).astype(np.float32) * 4
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits)
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    limit = 50
+    res = hamming_scan.scan(state, jnp.asarray(qbits),
+                            jnp.zeros(400, bool), limit, approx=False)
+    bits = hamming_scan.unpack_bits_numpy(codes, bank.code_bits)
+    for qi in range(9):
+        fine = np.bitwise_xor(bits, qbits[qi]).sum(axis=1)
+        exp = sorted(range(400), key=lambda c: (fine[c], c))[:limit]
+        got = [int(x) for x in np.asarray(res.ids[qi])]
+        assert got == exp, f"q={qi}"
+        got_sc = [int(s) for s in np.asarray(res.scores[qi])]
+        assert got_sc == [int(fine[c]) for c in exp]
+
+
+def test_scan_respects_tombstones(rng):
+    base, bank, codes = _mk(rng, n=300)
+    queries = base[:3] + 0.01
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = jnp.asarray(
+        hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits))
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    res0 = hamming_scan.scan(state, qbits, jnp.zeros(300, bool), 40,
+                             approx=False)
+    dead = [int(x) for x in np.asarray(res0.ids[0]) if x >= 0][:10]
+    tomb = np.zeros(300, bool)
+    tomb[dead] = True
+    res1 = hamming_scan.scan(state, qbits, jnp.asarray(tomb), 40,
+                             approx=False)
+    got = {int(x) for x in np.asarray(res1.ids[0]) if x >= 0}
+    assert not (got & set(dead))
+
+
+def test_scan_approx_overlaps_exact(rng):
+    base, bank, codes = _mk(rng, n=600)
+    queries = rng.normal(size=(6, 24)).astype(np.float32) * 4
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = jnp.asarray(
+        hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits))
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    limit = 100
+    exact = hamming_scan.scan(state, qbits, jnp.zeros(600, bool), limit,
+                              approx=False)
+    approx = hamming_scan.scan(state, qbits, jnp.zeros(600, bool), limit,
+                               approx=True)
+    for qi in range(6):
+        a = {int(x) for x in np.asarray(exact.ids[qi]) if x >= 0}
+        b = {int(x) for x in np.asarray(approx.ids[qi]) if x >= 0}
+        assert len(a & b) / limit >= 0.9
+
+
+def test_scan_system_pipeline_and_restore(tmp_path, rng):
+    """routing_mode=scan end-to-end: recall, decrypt budget, fast-restore
+    equality."""
+    from fspann_tpu.api.system import ForwardSecureANNSystem
+    from fspann_tpu.config import (SystemConfig, PaperConfig, RuntimeConfig,
+                                   EvalConfig)
+    from fspann_tpu.io import groundtruth
+
+    dim, n = 16, 1500
+    centers = rng.normal(size=(16, dim)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, n)] + \
+        rng.normal(size=(n, dim)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, 20)] + \
+        rng.normal(size=(20, dim)).astype(np.float32)
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=600, max_global_candidates=600,
+                              block_size=32, routing_mode="scan",
+                              rerank_limit=150),
+        eval=EvalConfig(k_variants=(1, 10)),
+    ).validate()
+    root = str(tmp_path / "scan")
+    sys_ = ForwardSecureANNSystem(cfg, root, dim, query_batch=8)
+    try:
+        sys_.index_stream(base, batch_size=400)
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries, k=10)
+        agg = sys_.run_queries(queries, gtm, base)
+        assert agg.mean_cand_decrypted <= 150
+        assert agg.recall_at_k[10] > 0.9, agg.paper_line()
+        tok = sys_.create_token(queries[0], 10)
+        before = [(r.id, round(r.distance, 5)) for r in sys_.search(tok)]
+        sys_.flush_all()
+    finally:
+        sys_.shutdown()
+    sys2 = ForwardSecureANNSystem(cfg, root, dim, query_batch=8)
+    try:
+        assert sys2.restore_index_from_disk()
+        assert sys2.index._scan_state is not None
+        tok2 = sys2.create_token(queries[0], 10)
+        after = [(r.id, round(r.distance, 5)) for r in sys2.search(tok2)]
+        assert before == after
+    finally:
+        sys2.shutdown()

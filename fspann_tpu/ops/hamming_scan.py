@@ -53,6 +53,19 @@ def unpack_bits_numpy(codes: np.ndarray, code_bits: int) -> np.ndarray:
         bits[:, :, :code_bits].reshape(n, g * code_bits)).astype(np.int8)
 
 
+def unpack_bits_device(codes: jax.Array, code_bits: int) -> jax.Array:
+    """Device-side unpack: uint32 [..., G, W] → int8 [..., G*code_bits].
+
+    Same MSB-first convention as :func:`unpack_bits_numpy`; used inside
+    shard_map where the codes already live in device HBM.
+    """
+    g, w = codes.shape[-2], codes.shape[-1]
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = ((codes[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int8)
+    bits = bits.reshape(*codes.shape[:-1], w * 32)[..., :code_bits]
+    return bits.reshape(*codes.shape[:-2], g * code_bits)
+
+
 def build_scan_state(codes: np.ndarray, code_bits: int,
                      chunk: int = 262_144) -> ScanState:
     """Host-side unpack (chunked to bound peak memory) + device upload."""

@@ -67,8 +67,11 @@ class DistributedEncryptedSystem:
             pp.omega_divisor)
         self.index = ShardedIndex(self.mesh, bank,
                                   block_size=self.cfg.runtime.block_size)
+        rt = self.cfg.runtime
         self.index.build(base, keep_base=False,
-                         keep_codes=self.cfg.runtime.rerank_limit > 0)
+                         keep_codes=(rt.rerank_limit > 0
+                                     and rt.routing_mode != "scan"),
+                         keep_bits=rt.routing_mode == "scan")
         self.store.set_range_size(self.index.shard_rows)
         self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
 
@@ -82,10 +85,15 @@ class DistributedEncryptedSystem:
             raise RuntimeError("build() before search")
         rt = self.cfg.runtime
         queries = np.asarray(queries, np.float32)
-        cand_ids, _scores = self.index.route(
-            queries, probes=rt.effective_probes(),
-            refinement_limit=rt.refinement_limit, probe_shards=probe_shards,
-            rerank_limit=rt.rerank_limit)
+        if rt.routing_mode == "scan":
+            cand_ids, _scores = self.index.scan_route(
+                queries, limit=rt.effective_refinement(),
+                probe_shards=probe_shards)
+        else:
+            cand_ids, _scores = self.index.route(
+                queries, probes=rt.effective_probes(),
+                refinement_limit=rt.refinement_limit,
+                probe_shards=probe_shards, rerank_limit=rt.rerank_limit)
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1).astype(np.int64)
         vecs, ok = self.store.load_decrypt_batch(flat,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import coding, partition, routing
+from ..ops import coding, hamming_scan, partition, routing
 from ..ops.partition import PartitionTable
 
 
@@ -51,6 +51,8 @@ class ShardedIndex:
         self.table: PartitionTable | None = None
         self.base: jax.Array | None = None
         self.point_codes: jax.Array | None = None   # [N_pad, G, W] sharded
+        self.bits: jax.Array | None = None          # [N_pad, B] int8 sharded
+        self.popc: jax.Array | None = None          # [N_pad] int32 sharded
         self.shard_rows = 0
         self.n = 0
         self._steps: dict = {}   # jitted step cache per (probes, limit, k)
@@ -58,7 +60,7 @@ class ShardedIndex:
     # -- build ------------------------------------------------------------------
 
     def build(self, base: np.ndarray, keep_base: bool = True,
-              keep_codes: bool = False) -> None:
+              keep_codes: bool = False, keep_bits: bool = False) -> None:
         """Pad to the mesh size, encode + build per-shard partitions.
 
         Sharding layout: every array's leading-N axis is split over the mesh
@@ -106,6 +108,22 @@ class ShardedIndex:
         jax.block_until_ready(self.table)
         self.point_codes = codes_dev if keep_codes else None
         self.base = base_dev if keep_base else None
+
+        if keep_bits:
+            # per-shard unpacked bit matrix + popcounts for the MXU scan
+            cb = bank.code_bits
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=P(self.axis),
+                     out_specs=(P(self.axis), P(self.axis)))
+            def unpack_local(codes):
+                bits = hamming_scan.unpack_bits_device(codes, cb)
+                return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
+
+            self.bits, self.popc = unpack_local(codes_dev)
+            jax.block_until_ready(self.bits)
+        else:
+            self.bits = self.popc = None
 
     # -- query ------------------------------------------------------------------
 
@@ -222,6 +240,75 @@ class ShardedIndex:
             return ids, sc[:, :r]
 
         return step
+
+    def scan_route_step_fn(self, limit: int, probe_shards: int | None = None,
+                           approx: bool = True):
+        """MXU Hamming scan over the mesh: per-shard int8 bit-matmul + local
+        top-L, then ICI all_gather + exact merge by fine score (global top-L
+        ⊆ union of per-shard top-Ls).  The collective payload is L ids+
+        scores per shard — no vector content, no codes cross the wire."""
+        bank = self.bank
+        axis = self.axis
+        rows = self.shard_rows
+        n = self.n
+        shard_cap = self.n_devices if probe_shards is None \
+            else max(1, min(probe_shards, self.n_devices))
+        pad32 = jnp.iinfo(jnp.int32).max
+        cb = bank.code_bits
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P(None)),
+                 out_specs=(P(None), P(None)),
+                 check_vma=False)
+        def step(bits_local, popc_local, queries):
+            qcodes, _ = coding.encode(queries, bank)
+            qbits = hamming_scan.unpack_bits_device(qcodes, cb)
+            dots = jax.lax.dot_general(
+                qbits, bits_local,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [Q, rows]
+            qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)
+            part = popc_local[None, :] - 2 * dots
+            local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
+            local_valid &= jax.lax.axis_index(axis) < shard_cap
+            part = jnp.where(local_valid[None, :], part, pad32)
+            k = min(limit, rows)
+            if approx:
+                neg, idx = jax.lax.approx_max_k(
+                    -part.astype(jnp.float32), k, recall_target=0.98)
+                fine = (-neg).astype(jnp.int32)
+            else:
+                neg, idx = jax.lax.top_k(-part, k)
+                fine = -neg
+            live = fine < pad32
+            gids = jnp.where(live,
+                             idx.astype(jnp.int32)
+                             + jax.lax.axis_index(axis) * rows, pad32)
+            sc = jnp.where(live, fine + qpopc[:, None], pad32)
+            all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            all_sc = jax.lax.all_gather(sc, axis, axis=1, tiled=True)
+            msc, mids = jax.lax.sort((all_sc, all_ids), dimension=-1,
+                                     num_keys=2)
+            r = min(limit, mids.shape[-1])
+            ids = jnp.where(mids[:, :r] == pad32, -1, mids[:, :r])
+            return ids, msc[:, :r]
+
+        return step
+
+    def scan_route(self, queries: np.ndarray, limit: int = 2048,
+                   probe_shards: int | None = None, approx: bool = True):
+        """Stage A via the mesh Hamming scan (needs build(keep_bits=True))."""
+        if self.bits is None:
+            raise RuntimeError("scan requires build(keep_bits=True)")
+        key = ("scan", limit, probe_shards, approx)
+        step = self._steps.get(key)
+        if step is None:
+            step = jax.jit(self.scan_route_step_fn(limit, probe_shards,
+                                                   approx))
+            self._steps[key] = step
+        ids, sc = step(self.bits, self.popc,
+                       jnp.asarray(queries, jnp.float32))
+        return np.asarray(ids), np.asarray(sc)
 
     def route(self, queries: np.ndarray, probes: int = 5,
               refinement_limit: int = 2048,

@@ -188,3 +188,67 @@ def test_distributed_system_rerank_recall(tmp_path, rng):
         assert hits / (q * k) > 0.9
     finally:
         sys_.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_mesh_scan_matches_single_device_oracle(rng):
+    """Sharded MXU scan (exact variant) == numpy global fine-Hamming
+    ranking — per-shard top-L + merge is exact."""
+    from fspann_tpu.ops import hamming_scan
+
+    n, d = 1024, 16
+    base = rng.normal(size=(n, d)).astype(np.float32) * 3
+    queries = base[rng.integers(0, n, 5)] + \
+        rng.normal(size=(5, d)).astype(np.float32) * 0.1
+    mesh = make_mesh()
+    bank = coding.build_bank_from_sample(base[:1000], m=8, lam=2, tables=3,
+                                         divisions=2, seed=13)
+    idx = ShardedIndex(mesh, bank, block_size=32)
+    idx.build(base, keep_base=False, keep_bits=True)
+    limit = 60
+    got_ids, got_sc = idx.scan_route(queries, limit=limit, approx=False)
+
+    codes_all, _ = coding.encode(jnp.asarray(base), bank)
+    bits = hamming_scan.unpack_bits_numpy(np.asarray(codes_all),
+                                          bank.code_bits)
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits)
+    for qi in range(len(queries)):
+        fine = np.bitwise_xor(bits, qbits[qi]).sum(axis=1)
+        exp = sorted(range(n), key=lambda c: (int(fine[c]), c))[:limit]
+        got = [int(x) for x in got_ids[qi] if x >= 0]
+        assert got == exp, f"q={qi}"
+        live_sc = [int(s) for x, s in zip(got_ids[qi], got_sc[qi]) if x >= 0]
+        assert live_sc == [int(fine[c]) for c in exp]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_distributed_system_scan_recall(tmp_path, rng):
+    """DistributedEncryptedSystem in scan mode: encrypted mesh serving with
+    the per-shard bit-matmul stage A."""
+    import dataclasses
+    from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, q, k = 2048, 16, 6, 10
+    centers = rng.normal(size=(16, d)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, n)] + \
+        rng.normal(size=(n, d)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32)
+
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=600, max_global_candidates=600,
+                              block_size=32, rerank_limit=200,
+                              routing_mode="scan")).validate()
+    sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / "dist_scan"), d)
+    try:
+        sys_.build(base)
+        ids, dists = sys_.search_batch(queries, k)
+        d2 = ((base[None] - queries[:, None]) ** 2).sum(-1)
+        gt = np.argsort(d2, axis=1)[:, :k]
+        hits = sum(len(set(ids[i]) & set(gt[i])) for i in range(q))
+        assert hits / (q * k) > 0.9
+    finally:
+        sys_.close()

@@ -208,6 +208,7 @@ def main():
             "unit": "queries/s",
             "vs_baseline": round(qps / baseline_qps, 1),
             "recall_at_10": round(recall10, 4),
+            "recall_at_100": round(agg.recall_at_k.get(100, float("nan")), 4),
             "distance_ratio_at_100": round(ratio, 4),
             # ONE latency definition: art/p50/p95 all derive from the same
             # series (per-batch exclusive service time / batch size, which

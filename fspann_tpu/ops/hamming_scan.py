@@ -32,6 +32,11 @@ import numpy as np
 from .routing import RouteResult
 
 _INF = jnp.int32(jnp.iinfo(jnp.int32).max)
+# dead-entry sentinel for the rank key: must survive an int32→f32→int32
+# round trip exactly (approx_max_k works in f32; INT32_MAX would saturate
+# implementation-defined on the way back).  2^30 is exact in f32 and far
+# above any real rank value (|part| ≤ B ≤ a few thousand).
+_DEAD = jnp.int32(1 << 30)
 
 
 class ScanState(NamedTuple):
@@ -101,7 +106,7 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
         preferred_element_type=jnp.int32)
     qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)          # [Q]
     part = state.popc[None, :] - 2 * dots                     # rank key
-    part = jnp.where(tombstones[None, :], _INF, part)
+    part = jnp.where(tombstones[None, :], _DEAD, part)
     k = min(limit, n)
     if approx:
         neg, idx = jax.lax.approx_max_k(-part.astype(jnp.float32), k,
@@ -111,8 +116,8 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
         neg, idx = jax.lax.top_k(-part, k)
         fine_sel = -neg
     ids = idx.astype(jnp.int32)
+    live = fine_sel < _DEAD
     scores = fine_sel + qpopc[:, None]
-    live = fine_sel < _INF
     ids = jnp.where(live, ids, -1)
     scores = jnp.where(live, scores, _INF)
     n_live = jnp.sum(live, axis=-1, dtype=jnp.int32)

@@ -254,6 +254,7 @@ class ShardedIndex:
         shard_cap = self.n_devices if probe_shards is None \
             else max(1, min(probe_shards, self.n_devices))
         pad32 = jnp.iinfo(jnp.int32).max
+        dead = jnp.int32(1 << 30)   # survives the f32 round trip exactly
         cb = bank.code_bits
 
         @partial(jax.shard_map, mesh=self.mesh,
@@ -271,7 +272,7 @@ class ShardedIndex:
             part = popc_local[None, :] - 2 * dots
             local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
             local_valid &= jax.lax.axis_index(axis) < shard_cap
-            part = jnp.where(local_valid[None, :], part, pad32)
+            part = jnp.where(local_valid[None, :], part, dead)
             k = min(limit, rows)
             if approx:
                 neg, idx = jax.lax.approx_max_k(
@@ -280,7 +281,7 @@ class ShardedIndex:
             else:
                 neg, idx = jax.lax.top_k(-part, k)
                 fine = -neg
-            live = fine < pad32
+            live = fine < dead
             gids = jnp.where(live,
                              idx.astype(jnp.int32)
                              + jax.lax.axis_index(axis) * rows, pad32)

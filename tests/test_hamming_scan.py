@@ -129,3 +129,40 @@ def test_scan_system_pipeline_and_restore(tmp_path, rng):
         assert before == after
     finally:
         sys2.shutdown()
+
+
+def test_scan_results_invariant_across_rotation(tmp_path, rng):
+    """Scan-mode serving x forward security: rotation + selective
+    re-encryption of the touched set leaves results bit-identical (the scan
+    state is routing state — ciphertext migration cannot perturb it)."""
+    from fspann_tpu.api.system import ForwardSecureANNSystem
+    from fspann_tpu.config import (SystemConfig, PaperConfig, RuntimeConfig,
+                                   EvalConfig)
+
+    dim, n = 16, 1200
+    base = rng.normal(size=(n, dim)).astype(np.float32) * 3
+    queries = base[rng.integers(0, n, 12)] + \
+        rng.normal(size=(12, dim)).astype(np.float32) * 0.05
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=400, max_global_candidates=400,
+                              block_size=32, routing_mode="scan",
+                              rerank_limit=120),
+        eval=EvalConfig(k_variants=(1, 10)),
+    ).validate()
+    sys_ = ForwardSecureANNSystem(cfg, str(tmp_path / "scanrot"), dim,
+                                  query_batch=6)
+    try:
+        sys_.index_stream(base, batch_size=400)
+        sys_.finalize_for_search()
+        toks = [sys_.create_token(q, 10) for q in queries]
+        before = [[(r.id, round(r.distance, 5)) for r in sys_.search(t)]
+                  for t in toks]
+        rep = sys_.run_selective_reencryption()
+        assert rep["reencrypted"] > 0
+        toks2 = [sys_.create_token(q, 10) for q in queries]
+        after = [[(r.id, round(r.distance, 5)) for r in sys_.search(t)]
+                 for t in toks2]
+        assert before == after
+    finally:
+        sys_.shutdown()

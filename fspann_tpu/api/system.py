@@ -126,6 +126,21 @@ class ForwardSecureANNSystem:
             total += len(batch)
         return total
 
+    def insert_live(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        """Insert AFTER finalize, searchable immediately — beyond the
+        reference (whose index freezes at finalizeForSearch).  Requires
+        routing_mode='scan': the new code bits append to the device bit
+        matrix; ciphertexts persist through the normal encrypted path and
+        key rotation covers them like any other point."""
+        ids = np.asarray(ids, np.int64)
+        self.rotation.rotate_if_needed()
+        vecs = self.store.quantize(vecs)
+        with self.profiler.timed("insert_live"):
+            self.index.append_rows(ids, vecs)   # validates first
+            self.store.insert_batch(ids, vecs)
+        self.rotation.track_operations(len(ids))
+        self._cache_gen += 1
+
     def finalize_for_search(self) -> None:
         self.insert_buffer.flush()
         with self.profiler.timed("finalize"):
@@ -384,6 +399,10 @@ class ForwardSecureANNSystem:
             # raises if the index is already frozen — surfacing the misuse
             # beats silently dropping buffered points
             self.insert_buffer.flush()
+        if self.index._table_stale and self.index.table_path:
+            # live inserts extended the scan state — refresh the checkpoint
+            # so fast restore sees the appended rows
+            self.index.save_table(self.index.table_path)
         self.store.meta.save_index_version(self.km.current_version)
         self.store.flush()
         self.km.persist()

@@ -69,6 +69,10 @@ class PartitionedIndex:
         self.point_codes = None
         # unpacked int8 bit matrix + popcounts (routing_mode == "scan")
         self._scan_state: hamming_scan.ScanState | None = None
+        self._scan_codes = None
+        # set by append_rows: the frozen partition table no longer covers
+        # all rows; the probe path refuses to route until re-finalized
+        self._table_stale = False
         # staging
         self._bank_cpu = None
         self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
@@ -215,7 +219,9 @@ class PartitionedIndex:
         self._row_ids = ids.astype(np.int64)
         self._dense = bool(len(ids) and ids[0] == 0
                            and ids[-1] == len(ids) - 1)
-        if self.cfg.runtime.rerank_limit > 0:
+        if (self.cfg.runtime.rerank_limit > 0
+                and self.cfg.runtime.routing_mode != "scan"):
+            # probe-path rerank only; the scan keeps unpacked bits instead
             self.point_codes = jax.device_put(codes)
         if self.cfg.runtime.routing_mode == "scan":
             self._scan_state = hamming_scan.build_scan_state(
@@ -240,6 +246,54 @@ class PartitionedIndex:
         self._tombstones_dirty = True
         if self.table_path:
             self.save_table(self.table_path)
+
+    # -- live ingestion (scan mode) ---------------------------------------------------
+
+    def append_rows(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        """Insert AFTER finalize — scan mode only (beyond the reference,
+        whose index freezes at finalizeForSearch:842).  The MXU scan makes
+        this trivial: new code bits append to the device bit matrix and
+        are searchable immediately; no partition rebuild.  The frozen
+        partition table goes stale, so the probe path refuses to route
+        until the next full finalize/restore (``_table_stale``)."""
+        if not self.frozen:
+            raise RuntimeError("append_rows is for post-finalize inserts; "
+                               "use stage() before finalize")
+        if self.cfg.runtime.routing_mode != "scan" or self._scan_state is None:
+            raise RuntimeError("live insert requires routing_mode='scan'")
+        ids = np.asarray(ids, np.int64)
+        vecs = np.asarray(vecs, np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected [*, {self.dim}] vectors")
+        if len(ids) != len(vecs) or (ids < 0).any():
+            raise ValueError("bad ids")
+        if np.isin(ids, self._row_ids).any():
+            raise ValueError("append_rows ids collide with existing rows")
+        if not np.isfinite(vecs).all():
+            raise ValueError("vectors contain NaN/Inf")
+
+        if self.cfg.runtime.encode_backend == "cpu":
+            codes, _ = coding.encode_numpy(vecs, self._host_bank())
+        else:
+            codes, _ = coding.encode(jnp.asarray(vecs), self.bank)
+            codes = np.asarray(codes)
+        cb = self.cfg.paper.code_bits
+        new_bits = hamming_scan.unpack_bits_numpy(codes, cb)
+        st = self._scan_state
+        self._scan_state = hamming_scan.ScanState(
+            jnp.concatenate([st.bits, jnp.asarray(new_bits)], axis=0),
+            jnp.concatenate([st.popc,
+                             jnp.asarray(new_bits.sum(axis=1,
+                                                      dtype=np.int32))]))
+        self._scan_codes = np.concatenate([self._scan_codes, codes])
+        self._row_ids = np.concatenate([self._row_ids, ids])
+        self._dense = bool(self._dense and len(ids)
+                           and ids[0] == self._n_rows
+                           and np.array_equal(
+                               ids, np.arange(ids[0], ids[0] + len(ids))))
+        self._n_rows += len(ids)
+        self._table_stale = True
+        self._tombstones_dirty = True
 
     # -- deletion ---------------------------------------------------------------------
 
@@ -296,6 +350,10 @@ class PartitionedIndex:
             res = hamming_scan.scan(self._scan_state, qbits,
                                     self._tombstones(),
                                     rt.effective_refinement())
+        elif self._table_stale:
+            raise RuntimeError(
+                "partition table stale after live inserts — probe routing "
+                "needs a rebuild; serve with routing_mode='scan'")
         elif self.point_codes is not None and rt.rerank_limit > 0:
             # fused probe→dedup→fine-score→top_k (skips the coarse ranking
             # sort; candidate pool = full probed set, decrypt set = best
@@ -333,10 +391,10 @@ class PartitionedIndex:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         extra = {}
-        if self.point_codes is not None:
-            extra["point_codes"] = np.asarray(self.point_codes)
-        elif getattr(self, "_scan_codes", None) is not None:
+        if self._scan_codes is not None:   # scan mode; grows with appends
             extra["point_codes"] = self._scan_codes
+        elif self.point_codes is not None:
+            extra["point_codes"] = np.asarray(self.point_codes)
         np.savez(tmp,
                  min_key=np.asarray(t.min_key), max_key=np.asarray(t.max_key),
                  rep_codes=np.asarray(t.rep_codes), ids=np.asarray(t.ids),
@@ -344,7 +402,8 @@ class PartitionedIndex:
                  dense=self._dense, n_rows=self._n_rows, dim=self.dim,
                  m=pp.m, lam=pp.lam, tables=pp.tables,
                  divisions=pp.divisions, seed=pp.seed,
-                 block=self.cfg.runtime.block_size, **extra)
+                 block=self.cfg.runtime.block_size,
+                 table_stale=self._table_stale, **extra)
         os.replace(tmp + ".npz", path)
 
     def load_table(self, path: str, expect_rows: int | None = None) -> bool:
@@ -363,11 +422,14 @@ class PartitionedIndex:
         if expect_rows is not None and int(z["n_rows"]) != expect_rows:
             return False
         rt = self.cfg.runtime
+        stale = bool(z["table_stale"]) if "table_stale" in z.files else False
+        if stale and rt.routing_mode != "scan":
+            return False   # probe restore needs the decrypt-and-rebuild path
         if rt.rerank_limit > 0 or rt.routing_mode == "scan":
             if "point_codes" not in z.files:
                 return False   # checkpoint predates rerank/scan — rebuild
             codes = z["point_codes"].astype(np.uint32)
-            if rt.rerank_limit > 0:
+            if rt.rerank_limit > 0 and rt.routing_mode != "scan":
                 self.point_codes = jax.device_put(codes)
             if rt.routing_mode == "scan":
                 self._scan_state = hamming_scan.build_scan_state(
@@ -380,5 +442,6 @@ class PartitionedIndex:
         self._dense = bool(z["dense"])
         self._n_rows = int(z["n_rows"])
         self.frozen = True
+        self._table_stale = stale
         self._tombstones_dirty = True
         return True

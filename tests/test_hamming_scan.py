@@ -166,3 +166,72 @@ def test_scan_results_invariant_across_rotation(tmp_path, rng):
         assert before == after
     finally:
         sys_.shutdown()
+
+
+def test_live_insert_after_finalize(tmp_path, rng):
+    """insert_live: post-finalize points are searchable immediately (scan
+    mode), survive fast restore, and the stale probe path refuses."""
+    from fspann_tpu.api.system import ForwardSecureANNSystem
+    from fspann_tpu.config import (SystemConfig, PaperConfig, RuntimeConfig,
+                                   EvalConfig)
+
+    dim, n = 16, 1200
+    base = rng.normal(size=(n, dim)).astype(np.float32) * 3
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=400, max_global_candidates=400,
+                              block_size=32, routing_mode="scan",
+                              rerank_limit=100),
+        eval=EvalConfig(k_variants=(1, 10)),
+    ).validate()
+    root = str(tmp_path / "live")
+    sys_ = ForwardSecureANNSystem(cfg, root, dim, query_batch=4)
+    try:
+        sys_.index_stream(base, batch_size=400)
+        sys_.finalize_for_search()
+        new_vecs = rng.normal(size=(5, dim)).astype(np.float32) * 3 + 40.0
+        new_ids = np.arange(n, n + 5)
+        sys_.insert_live(new_ids, new_vecs)
+        # each new point is its own nearest neighbor
+        for i in range(5):
+            tok = sys_.create_token(new_vecs[i], 3)
+            res = sys_.search(tok)
+            assert res[0].id == n + i
+            # dot-form L2 at ||q|| ~ 160: f32 cancellation leaves ~0.05
+            assert res[0].distance < 0.5
+        # old points still found
+        tok = sys_.create_token(base[7], 1)
+        assert sys_.search(tok)[0].id == 7
+        # duplicate id rejected
+        with pytest.raises(ValueError):
+            sys_.insert_live(np.array([n]), new_vecs[:1])
+        sys_.flush_all()
+        before = [(r.id, round(r.distance, 5))
+                  for r in sys_.search(sys_.create_token(new_vecs[0], 10))]
+    finally:
+        sys_.shutdown()
+
+    # restore picks up the appended rows via the refreshed checkpoint
+    sys2 = ForwardSecureANNSystem(cfg, root, dim, query_batch=4)
+    try:
+        assert sys2.restore_index_from_disk()
+        assert sys2.index.size == n + 5
+        after = [(r.id, round(r.distance, 5))
+                 for r in sys2.search(sys2.create_token(new_vecs[0], 10))]
+        assert before == after
+    finally:
+        sys2.shutdown()
+
+    # probe-mode restore of a stale checkpoint falls back to rebuild (and
+    # the rebuilt index routes the appended points too)
+    import dataclasses
+    cfg_probe = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, routing_mode="probe"))
+    sys3 = ForwardSecureANNSystem(cfg_probe, root, dim, query_batch=4)
+    try:
+        assert sys3.restore_index_from_disk()
+        assert not sys3.index._table_stale
+        tok = sys3.create_token(new_vecs[0], 3)
+        assert sys3.search(tok)[0].id == n
+    finally:
+        sys3.shutdown()

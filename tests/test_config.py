@@ -98,3 +98,24 @@ def test_cloak_config_block(tmp_path):
     assert cfg.cloak.enabled and cfg.cloak.rate == 0.5
     assert cfg.cloak.mode == "uniform"
     assert not SystemConfig().cloak.enabled   # default off
+
+
+def test_routing_mode_alias_and_validation():
+    import dataclasses
+    import json
+    import tempfile
+
+    import pytest
+
+    from fspann_tpu.config import SystemConfig, RuntimeConfig, load_config
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json") as f:
+        json.dump({"runtime": {"routingMode": "scan", "rerankLimit": 2000}}, f)
+        f.flush()
+        cfg = load_config(f.name)
+    assert cfg.runtime.routing_mode == "scan"
+    assert cfg.runtime.effective_refinement() == 2000
+
+    bad = SystemConfig(runtime=RuntimeConfig(routing_mode="warp"))
+    with pytest.raises(ValueError, match="routing_mode"):
+        bad.validate()

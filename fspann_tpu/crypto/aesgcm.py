@@ -64,7 +64,8 @@ def _load() -> ctypes.CDLL:
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.fspann_gcm_open_batch_rec_id.argtypes = [
             vp, sz, u8p, u64p, u32, u32, u32, ctypes.c_uint64,
-            i64p, u32, u32, u8p, u64p, u8p, f32p, ctypes.c_int]
+            i64p, u32, u32, u8p, u64p, u8p, f32p, ctypes.c_int,
+            ctypes.c_int]
         lib.fspann_gcm_open_batch_rec_id.restype = ctypes.c_int
         lib.fspann_crc32_rows.argtypes = [u8p, sz, sz, u32p]
         _LIB = lib
@@ -124,7 +125,8 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
                              ct_len: int, ids: np.ndarray, key_version: int,
                              dim: int, pt_flat: np.ndarray,
                              pt_off: np.ndarray,
-                             norms: np.ndarray | None = None) -> np.ndarray:
+                             norms: np.ndarray | None = None,
+                             payload_f16: bool = False) -> np.ndarray:
     """Single-key record open with the 32-byte AAD synthesized in C from
     (id, key_version, dim) — the query hot path.  Building the AAD matrix in
     numpy costs a full DRAM pass over the candidate set; in C it is a stack
@@ -152,7 +154,7 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         key_version, dim,
         _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok),
-        norms_ptr, _num_threads())
+        norms_ptr, _num_threads(), 1 if payload_f16 else 0)
     return ok
 
 

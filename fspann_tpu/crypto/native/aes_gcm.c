@@ -526,14 +526,33 @@ static int open_batch_rec_id_range(const void *ctx,
                                    uint8_t *ok,
                                    /* optional: squared-L2 norm of each
                                     * decrypted f32 row, written at
-                                    * norms[pt_off[i]/ct_len] while the
+                                    * norms[pt_off[i]/row_stride] while the
                                     * plaintext is still in L1 — saves the
                                     * refine stage a full re-read pass over
-                                    * the candidate matrix.  NULL to skip;
-                                    * only meaningful for f32 payloads. */
-                                   float *norms) {
+                                    * the candidate matrix.  NULL to skip. */
+                                   float *norms,
+                                   /* payload_f16: ciphertext payload is
+                                    * little-endian f16; decrypt lands in a
+                                    * scratch row and is widened to f32 at
+                                    * pt+pt_off[i] (output stride 2*ct_len)
+                                    * in the same L1-resident pass, norms
+                                    * included — replaces the two full numpy
+                                    * passes (convert + re-read for norms)
+                                    * the Python f16 path needed. */
+                                   int payload_f16) {
     int failures = 0;
     uint8_t aad[32];
+    uint8_t scratch_stack[4096];
+    uint8_t *scratch = NULL;
+    if (payload_f16)
+        scratch = (ct_len <= sizeof(scratch_stack))
+            ? scratch_stack : (uint8_t *)malloc(ct_len);
+    const uint64_t row_stride = payload_f16 ? ct_len * 2 : ct_len;
+#if defined(__F16C__)
+    const int have_f16c = __builtin_cpu_supports("f16c");
+#else
+    const int have_f16c = 0;
+#endif
     /* records sit at ~10-20KB strides (candidate sets are sparse in the
      * arena) — beyond the hardware prefetcher's reach, so pull the next
      * record's lines in while the current one is in the AES units */
@@ -546,15 +565,63 @@ static int open_batch_rec_id_range(const void *ctx,
         }
         const uint8_t *rec = base + rec_off[i];
         fspann_format_aad(aad, (uint64_t)ids[i], key_version, dim);
+        uint8_t *dst = payload_f16 ? scratch : pt + pt_off[i];
         int rc = fspann_gcm_open(ctx, rec + iv_rel, aad, 32,
                                  rec + ct_rel, ct_len,
-                                 rec + tag_rel, pt + pt_off[i]);
+                                 rec + tag_rel, dst);
         ok[i] = (uint8_t)(rc == 0);
         if (rc != 0) {
-            memset(pt + pt_off[i], 0, ct_len);
+            memset(pt + pt_off[i], 0, row_stride);
             failures++;
+            continue;
         }
-        if (norms) {
+        if (payload_f16) {
+            /* widen f16 -> f32 while the row is in L1, norms fused */
+            const uint16_t *h = (const uint16_t *)scratch;
+            float *o = (float *)(pt + pt_off[i]);
+            size_t nd = ct_len / 2, j = 0;
+            float acc = 0.f;
+#if defined(__F16C__)
+            if (have_f16c) {
+                __m256 vacc = _mm256_setzero_ps();
+                for (; j + 8 <= nd; j += 8) {
+                    __m256 f = _mm256_cvtph_ps(
+                        _mm_loadu_si128((const __m128i *)(h + j)));
+                    _mm256_storeu_ps(o + j, f);
+                    vacc = _mm256_add_ps(vacc, _mm256_mul_ps(f, f));
+                }
+                float lanes[8];
+                _mm256_storeu_ps(lanes, vacc);
+                for (int l = 0; l < 8; l++) acc += lanes[l];
+            }
+#endif
+            for (; j < nd; j++) {
+                /* scalar half->float (normal/subnormal/inf/nan) */
+                uint16_t x = h[j];
+                uint32_t sign = (uint32_t)(x & 0x8000) << 16;
+                uint32_t expo = (x >> 10) & 0x1f;
+                uint32_t mant = x & 0x3ff;
+                uint32_t bits;
+                if (expo == 0x1f) {
+                    bits = sign | 0x7f800000u | (mant << 13);
+                } else if (expo == 0) {
+                    if (mant == 0) bits = sign;
+                    else {
+                        expo = 127 - 15 + 1;
+                        while (!(mant & 0x400)) { mant <<= 1; expo--; }
+                        mant &= 0x3ff;
+                        bits = sign | (expo << 23) | (mant << 13);
+                    }
+                } else {
+                    bits = sign | ((expo - 15 + 127) << 23) | (mant << 13);
+                }
+                float f;
+                memcpy(&f, &bits, 4);
+                o[j] = f;
+                acc += f * f;
+            }
+            if (norms) norms[pt_off[i] / row_stride] = acc;
+        } else if (norms) {
             const float *v = (const float *)(pt + pt_off[i]);
             size_t nd = ct_len / 4;
             float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
@@ -569,6 +636,7 @@ static int open_batch_rec_id_range(const void *ctx,
             norms[pt_off[i] / ct_len] = acc0 + acc1 + acc2 + acc3;
         }
     }
+    if (scratch && scratch != scratch_stack) free(scratch);
     return failures;
 }
 
@@ -587,6 +655,7 @@ typedef struct {
     const uint64_t *pt_off;
     uint8_t *ok;
     float *norms;
+    int payload_f16;
     int failures;
 } open_task;
 
@@ -595,7 +664,7 @@ static void *open_worker(void *p) {
     t->failures = open_batch_rec_id_range(
         t->ctx, t->lo, t->hi, t->base, t->rec_off, t->iv_rel, t->ct_rel,
         t->tag_rel, t->ct_len, t->ids, t->key_version, t->dim, t->pt,
-        t->pt_off, t->ok, t->norms);
+        t->pt_off, t->ok, t->norms, t->payload_f16);
     return NULL;
 }
 
@@ -612,12 +681,13 @@ int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
                                  const int64_t *ids, uint32_t key_version,
                                  uint32_t dim,
                                  uint8_t *pt, const uint64_t *pt_off,
-                                 uint8_t *ok, float *norms, int nthreads) {
+                                 uint8_t *ok, float *norms, int nthreads,
+                                 int payload_f16) {
     if (nthreads <= 1 || n < 1024) {
         return open_batch_rec_id_range(ctx, 0, n, base, rec_off, iv_rel,
                                        ct_rel, tag_rel, ct_len, ids,
                                        key_version, dim, pt, pt_off, ok,
-                                       norms);
+                                       norms, payload_f16);
     }
     enum { MAX_THREADS = 64 };
     if (nthreads > MAX_THREADS) nthreads = MAX_THREADS;
@@ -631,13 +701,13 @@ int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
         size_t hi = lo + per < n ? lo + per : n;
         open_task task = {ctx, lo, hi, base, rec_off, iv_rel, ct_rel,
                           tag_rel, ct_len, ids, key_version, dim, pt,
-                          pt_off, ok, norms, 0};
+                          pt_off, ok, norms, payload_f16, 0};
         tasks[t] = task;
         if (t == nthreads - 1 || hi == n) {
             /* run the last slice on the calling thread */
             tasks[t].failures = open_batch_rec_id_range(
                 ctx, lo, hi, base, rec_off, iv_rel, ct_rel, tag_rel, ct_len,
-                ids, key_version, dim, pt, pt_off, ok, norms);
+                ids, key_version, dim, pt, pt_off, ok, norms, payload_f16);
             spawned = t;
             break;
         }

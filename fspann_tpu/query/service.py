@@ -276,9 +276,9 @@ class QueryService:
             dists = np.array(res.distances, np.float32)
             n_scored = np.asarray(res.n_scored)
         else:
-            # c2 comes from the decrypt loop (f32 stores only; the f16
-            # path leaves norms unfilled and recomputes)
-            c2 = norms.reshape(q, r) if self.store.dtype == "f32" else None
+            # c2 comes fused from the decrypt loop for BOTH payload dtypes
+            # (the C kernel widens f16 in-loop and accumulates norms there)
+            c2 = norms.reshape(q, r)
             ids, dists, n_scored = _host_refine(qvecs, cand_vecs, cand_ids,
                                                 valid, k, c2=c2)
         t3 = time.perf_counter()

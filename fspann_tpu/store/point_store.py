@@ -274,10 +274,11 @@ class PointStore:
         iv_rel = 20            # arena record: 20-byte header, then iv
         ct_rel = 32
         tag_rel = 32 + body
-        if self.dtype == "f32":
-            staging = vecs.reshape(-1).view(np.uint8)
-        else:
-            staging = np.zeros(n * body, np.uint8)
+        # output staging is ALWAYS the f32 matrix: for f16 payloads the C
+        # loop decrypts into an L1 scratch row and widens f16->f32 (F16C)
+        # with norms fused — no separate convert or norm pass
+        staging = vecs.reshape(-1).view(np.uint8)
+        out_body = 4 * self.dim
         for kv in versions:
             sel = np.flatnonzero(kv_all == kv)
             # visit records in arena-offset order: sequential-ish reads
@@ -300,12 +301,9 @@ class PointStore:
                 reader._buf, off_all[sel].astype(np.uint64),
                 iv_rel, ct_rel, tag_rel, body,
                 ids[sel], int(kv), self.dim,
-                staging, (sel * body).astype(np.uint64),
-                norms=norms_out if self.dtype == "f32" else None)
+                staging, (sel * out_body).astype(np.uint64),
+                norms=norms_out, payload_f16=self.dtype == "f16")
             ok[sel] = ok_v.astype(bool)
-        if self.dtype != "f32":
-            with np.errstate(all="ignore"):
-                vecs[:] = staging.view("<f2").reshape(n, self.dim)
         return vecs, ok
 
     def key_version_of(self, pid: int) -> int | None:

@@ -64,3 +64,24 @@ def test_f16_e2e_recall_and_restore(tmp_path, rng):
         assert [r.id for r in res1] == [r.id for r in res2]
     finally:
         sys2.shutdown()
+
+
+def test_f16_fused_norms_match_numpy(tmp_path, rng):
+    """The C loop's fused f16->f32 widen + norm accumulation matches a
+    numpy recompute (covers both the F16C and scalar conversion paths,
+    incl. zero rows for missing ids)."""
+    km = KeyManager(str(tmp_path / "ksn"))
+    store = PointStore(str(tmp_path / "dbn"), km, dim=DIM, dtype="f16")
+    vecs = (rng.normal(size=(64, DIM)) * 8).astype(np.float32)
+    vecs[3, :4] = [0.0, 1e-4, -1e-4, 3.14159]   # exercise tiny halves
+    store.insert_batch(np.arange(64), vecs)
+    ids = np.concatenate([np.arange(64), [999]])   # one missing id
+    norms = np.zeros(len(ids), np.float32)
+    got, ok = store.load_decrypt_batch(ids, norms_out=norms)
+    assert ok[:64].all() and not ok[64]
+    q = vecs.astype(np.float16).astype(np.float32)
+    np.testing.assert_allclose(got[:64], q, rtol=0, atol=0)
+    np.testing.assert_allclose(norms[:64], (q * q).sum(axis=1),
+                               rtol=1e-5)
+    assert (got[64] == 0).all()
+    store.close()

@@ -87,3 +87,28 @@ def test_cli_gt_validation_gate(dataset, rng):
                   "--gt", str(dataset / "bad.ivecs"), "--config", cfg,
                   "--base-dir", str(dataset / "db3"),
                   "--results", str(dataset / "res3")])
+
+
+def test_cli_scan_profile(dataset, capsys):
+    """Full CLI run with routing_mode=scan selected via a config profile —
+    the flagship serving mode at the reference's arg surface."""
+    p = dataset / "cfg_scan.json"
+    p.write_text(json.dumps({
+        "paper": {"m": 6, "lambda": 2, "divisions": 2, "tables": 2, "seed": 5},
+        "runtime": {"refinementLimit": 300, "maxGlobalCandidates": 300,
+                    "blockSize": 32},
+        "eval": {"kVariants": [1, 5]},
+        "profiles": {"SCAN": {"runtime": {"routingMode": "scan",
+                                          "rerankLimit": 100}}},
+    }))
+    rc = cli.main(["--data", str(dataset / "base.fvecs"),
+                   "--queries", str(dataset / "q.fvecs"),
+                   "--gt", "AUTO", "--config", str(p), "--profile", "SCAN",
+                   "--base-dir", str(dataset / "dbscan"),
+                   "--results", str(dataset / "resscan"),
+                   "--query-batch", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["queries"] == 6
+    assert out["recall_at_5"] if "recall_at_5" in out else True
+    assert (dataset / "resscan" / "summary.csv").exists()

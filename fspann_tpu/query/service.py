@@ -195,16 +195,39 @@ class QueryService:
     def _decrypt_queries(self, tokens: list[QueryToken]) -> np.ndarray:
         """Server-side token decrypt under the token's key version
         (trusted-eval shortcut, reference QueryServiceImpl.java:124-135
-        with current-version fallback)."""
-        out = np.empty((len(tokens), self.index.dim), np.float32)
+        with current-version fallback).  ONE multi-key batch open for the
+        whole token batch — the per-token Python loop was ~0.5 ms/batch of
+        pure interpreter overhead on the serving path."""
+        from ..crypto import aesgcm
+
+        n = len(tokens)
+        versions: list[int] = []
+        keys = []
+        key_idx = np.empty(n, np.uint32)
         for i, t in enumerate(tokens):
-            try:
-                gcm = self.km.gcm_for(t.key_version)
-            except KeyError:
-                gcm = self.km.gcm_for(self.km.current_version)
-            pt = gcm.open(t.iv, t.encrypted_query)
-            out[i] = np.frombuffer(pt, "<f4")
-        return out
+            kv = t.key_version if t.key_version in self.km.live_versions() \
+                else self.km.current_version
+            if kv not in versions:
+                versions.append(kv)
+                keys.append(self.km.gcm_for(kv))
+            key_idx[i] = versions.index(kv)
+        body = self.index.dim * 4
+        ct = np.empty(n * body, np.uint8)
+        ivs = np.empty((n, 12), np.uint8)
+        tags = np.empty((n, 16), np.uint8)
+        for i, t in enumerate(tokens):
+            ct[i * body:(i + 1) * body] = np.frombuffer(
+                t.encrypted_query[:body], np.uint8)
+            tags[i] = np.frombuffer(t.encrypted_query[body:], np.uint8)
+            ivs[i] = np.frombuffer(t.iv, np.uint8)
+        offs = (np.arange(n, dtype=np.uint64) * body)
+        lens = np.full(n, body, np.uint64)
+        pt, ok = aesgcm.open_batch(keys, key_idx, ivs, [b""] * n,
+                                   ct, offs, lens, tags)
+        if not ok.all():
+            raise ValueError("query token tag verification failed")
+        return pt.view("<f4").reshape(n, self.index.dim).astype(
+            np.float32, copy=True)
 
     def _need_retry(self, s: SearchStats, k: int) -> bool:
         """Reference needRetry:444-447: returned < K or decrypted < 10*K.

@@ -216,6 +216,11 @@ class QueryService:
         ivs = np.empty((n, 12), np.uint8)
         tags = np.empty((n, 16), np.uint8)
         for i, t in enumerate(tokens):
+            if len(t.encrypted_query) != body + 16:
+                raise ValueError(
+                    f"token dimension mismatch: ciphertext is "
+                    f"{len(t.encrypted_query)}B, index dim {self.index.dim} "
+                    f"needs {body + 16}B")
             ct[i * body:(i + 1) * body] = np.frombuffer(
                 t.encrypted_query[:body], np.uint8)
             tags[i] = np.frombuffer(t.encrypted_query[body:], np.uint8)

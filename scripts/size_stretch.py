@@ -44,5 +44,9 @@ print(f"  ICI merge payload:    {ici_mb:.1f} MB / batch (all_gather)")
 print(f"  ciphertext (hosts):   {ct_bytes/1e9:.0f} GB sharded arenas")
 print(f"  AES decrypt/query:    {aes_ms_per_core:.1f} ms/core "
       f"(/= FSPANN_THREADS)")
+print(f"  scan intermediates:   {rows * Q * 8 / 1e9:.2f} GB/chip at "
+      f"Q={Q} (dots+rank, int32) — sub-batch queries (Q<=16) when "
+      f"rows/chip >= 10M")
 print(f"  int4 bit packing would halve HBM to "
-      f"{bits_bytes / 2 / 1e9:.2f} GB/chip if needed")
+      f"{bits_bytes / 2 / 1e9:.2f} GB/chip if needed "
+      f"(int4 matmul not yet lowered by this jax build)")

@@ -344,12 +344,15 @@ class PartitionedIndex:
         probes = probes or rt.effective_probes()
         limit = refinement_limit or rt.refinement_limit
         if rt.routing_mode == "scan" and self._scan_state is not None:
-            # MXU Hamming scan: global fine ranking, probes are moot
+            # MXU Hamming scan: global fine ranking, probes are moot.
+            # Past ~2M rows the flat scan's [Q, N] rank scratch outgrows
+            # HBM headroom — switch to the chunked running-top-L variant.
             qbits = jnp.asarray(hamming_scan.unpack_bits_numpy(
                 np.asarray(qcodes), self.cfg.paper.code_bits))
-            res = hamming_scan.scan(self._scan_state, qbits,
-                                    self._tombstones(),
-                                    rt.effective_refinement())
+            scan_fn = hamming_scan.scan if self._n_rows <= (1 << 21) \
+                else hamming_scan.scan_chunked
+            res = scan_fn(self._scan_state, qbits, self._tombstones(),
+                          rt.effective_refinement())
         elif self._table_stale:
             raise RuntimeError(
                 "partition table stale after live inserts — probe routing "

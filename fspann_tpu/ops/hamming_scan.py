@@ -122,3 +122,65 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
     scores = jnp.where(live, scores, _INF)
     n_live = jnp.sum(live, axis=-1, dtype=jnp.int32)
     return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n))
+
+
+@partial(jax.jit, static_argnames=("limit", "chunk", "approx"))
+def scan_chunked(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
+                 limit: int, chunk: int = 1 << 19,
+                 approx: bool = True) -> RouteResult:
+    """:func:`scan` with the corpus processed in ``chunk``-row blocks and a
+    running top-L merge — the [Q, N] rank intermediate becomes [Q, chunk],
+    so memory stays flat as N grows (the full-width scan needs Q·N·8 bytes
+    of dots+rank scratch: 6.4 GB at 12.5M rows × 64 queries).
+
+    The tail block re-reads already-scanned rows (dynamic_slice clamps);
+    those duplicates are masked DEAD so every id appears at most once.
+    Exact-mode merge sorts by (score, id), matching :func:`scan`'s order.
+    """
+    n, b = state.bits.shape
+    if n <= chunk:
+        return scan(state, qbits, tombstones, limit, approx)
+    q = qbits.shape[0]
+    k = min(limit, chunk, n)
+    qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)
+    nc = -(-n // chunk)
+
+    def body(i, carry):
+        best_sc, best_id = carry
+        start = i * chunk
+        start_c = jnp.minimum(start, n - chunk)
+        bits_c = jax.lax.dynamic_slice(state.bits, (start_c, 0), (chunk, b))
+        popc_c = jax.lax.dynamic_slice(state.popc, (start_c,), (chunk,))
+        tomb_c = jax.lax.dynamic_slice(tombstones, (start_c,), (chunk,))
+        dots = jax.lax.dot_general(
+            qbits, bits_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)                 # [Q, chunk]
+        part = popc_c[None, :] - 2 * dots
+        rows = start_c + jnp.arange(chunk, dtype=jnp.int32)
+        # mask tombstones AND tail-overlap rows (already scanned)
+        dead = tomb_c[None, :] | (rows < start)[None, :]
+        part = jnp.where(dead, _DEAD, part)
+        if approx:
+            neg, idx = jax.lax.approx_max_k(-part.astype(jnp.float32), k,
+                                            recall_target=0.98)
+            sc = (-neg).astype(jnp.int32)
+        else:
+            neg, idx = jax.lax.top_k(-part, k)
+            sc = -neg
+        cid = rows[idx.reshape(-1)].reshape(q, k)
+        cid = jnp.where(sc < _DEAD, cid, -1)
+        # merge with carry: 2-key sort by (score, id) keeps scan()'s order
+        msc, mid = jax.lax.sort(
+            (jnp.concatenate([best_sc, sc], axis=-1),
+             jnp.concatenate([best_id, cid], axis=-1)),
+            dimension=-1, num_keys=2)
+        return msc[:, :k], mid[:, :k]
+
+    init = (jnp.full((q, k), _DEAD, jnp.int32),
+            jnp.full((q, k), -1, jnp.int32))
+    best_sc, best_id = jax.lax.fori_loop(0, nc, body, init)
+    live = best_sc < _DEAD
+    scores = jnp.where(live, best_sc + qpopc[:, None], _INF)
+    ids = jnp.where(live, best_id, -1)
+    n_live = jnp.sum(live, axis=-1, dtype=jnp.int32)
+    return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n))

@@ -235,3 +235,28 @@ def test_live_insert_after_finalize(tmp_path, rng):
         assert sys3.search(tok)[0].id == n
     finally:
         sys3.shutdown()
+
+
+def test_scan_chunked_matches_flat_exact(rng):
+    """Chunked running-top-L scan (chunk smaller than the corpus, with a
+    tail-overlap block) == flat scan, exact mode."""
+    import jax.numpy as jnp
+    base, bank, codes = _mk(rng, n=700)
+    queries = rng.normal(size=(7, 24)).astype(np.float32) * 4
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = jnp.asarray(
+        hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits))
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    tomb = np.zeros(700, bool)
+    tomb[rng.integers(0, 700, 30)] = True
+    tomb_d = jnp.asarray(tomb)
+    flat = hamming_scan.scan(state, qbits, tomb_d, 60, approx=False)
+    # 256-row chunks: 3 chunks, last one re-reads 68 overlap rows
+    chunked = hamming_scan.scan_chunked(state, qbits, tomb_d, 60,
+                                        chunk=256, approx=False)
+    np.testing.assert_array_equal(np.asarray(flat.ids),
+                                  np.asarray(chunked.ids))
+    np.testing.assert_array_equal(np.asarray(flat.scores),
+                                  np.asarray(chunked.scores))
+    np.testing.assert_array_equal(np.asarray(flat.n_unique),
+                                  np.asarray(chunked.n_unique))

@@ -91,3 +91,32 @@ def test_multidim_background_reencryption_shares_keystore(tmp_path, rng):
         assert sub.store.meta.count_with_version(2) == migrated
     finally:
         md.shutdown()
+
+
+def test_multidim_scan_mode(tmp_path, rng):
+    """MultiDimSystem serves scan-mode sub-systems off one shared keystore."""
+    import dataclasses
+
+    from fspann_tpu.api.multidim import MultiDimSystem
+    from fspann_tpu.config import (SystemConfig, PaperConfig, RuntimeConfig,
+                                   EvalConfig)
+
+    cfg = SystemConfig(
+        paper=PaperConfig(m=6, lam=2, divisions=2, tables=2, seed=5),
+        runtime=RuntimeConfig(refinement_limit=300, max_global_candidates=300,
+                              block_size=32, routing_mode="scan",
+                              rerank_limit=80),
+        eval=EvalConfig(k_variants=(1, 5))).validate()
+    md = MultiDimSystem(cfg, str(tmp_path / "md"))
+    try:
+        for dim in (8, 24):
+            base = rng.normal(size=(1100, dim)).astype(np.float32) * 3
+            s = md.system_for(dim)
+            s.index_stream(base, batch_size=400)
+            s.finalize_for_search()
+            tok = s.create_token(base[5], 5)
+            assert s.search(tok)[0].id == 5
+        # one keystore across dims
+        assert md.system_for(8).km is md.system_for(24).km
+    finally:
+        md.shutdown()

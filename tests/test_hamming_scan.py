@@ -260,3 +260,34 @@ def test_scan_chunked_matches_flat_exact(rng):
                                   np.asarray(chunked.scores))
     np.testing.assert_array_equal(np.asarray(flat.n_unique),
                                   np.asarray(chunked.n_unique))
+
+
+def test_scan_system_delete_and_undelete(tmp_path, rng):
+    """delete/undelete visibility flows through the scan's tombstone mask."""
+    from fspann_tpu.api.system import ForwardSecureANNSystem
+    from fspann_tpu.config import (SystemConfig, PaperConfig, RuntimeConfig,
+                                   EvalConfig)
+
+    dim, n = 16, 900
+    base = rng.normal(size=(n, dim)).astype(np.float32) * 3
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=300, max_global_candidates=300,
+                              block_size=32, routing_mode="scan",
+                              rerank_limit=80),
+        eval=EvalConfig(k_variants=(1, 10))).validate()
+    sys_ = ForwardSecureANNSystem(cfg, str(tmp_path / "del"), dim,
+                                  query_batch=4)
+    try:
+        sys_.index_stream(base, batch_size=300)
+        sys_.finalize_for_search()
+        tok = sys_.create_token(base[42], 1)
+        assert sys_.search(tok)[0].id == 42
+        sys_.delete([42])
+        tok2 = sys_.create_token(base[42], 1)
+        assert sys_.search(tok2)[0].id != 42
+        assert sys_.undelete([42]) == [42]
+        tok3 = sys_.create_token(base[42], 1)
+        assert sys_.search(tok3)[0].id == 42
+    finally:
+        sys_.shutdown()

@@ -38,24 +38,39 @@ class RotationPolicy:
 
 
 class ReencryptionTracker:
-    """Thread-safe touched-id accumulator (reference ReencryptionTracker.java)."""
+    """Thread-safe touched-id accumulator (reference ReencryptionTracker.java).
+
+    Accumulates numpy id arrays and dedups lazily: the per-batch ``record``
+    on the serving hot path is an O(1) append (a Python-set update cost
+    ~1 ms per query batch at serving rates), with ``np.unique`` paid only
+    on reads."""
 
     def __init__(self):
         self._lock = threading.Lock()
-        self._touched: set[int] = set()
+        self._parts: list = []
 
     def record(self, ids) -> None:
+        ids = np.asarray(ids, np.int64)
+        if not len(ids):
+            return
         with self._lock:
-            self._touched.update(int(i) for i in ids)
+            self._parts.append(ids)
+
+    def _compact_locked(self) -> "np.ndarray":
+        if len(self._parts) > 1 or (self._parts and
+                                    len(np.unique(self._parts[0]))
+                                    != len(self._parts[0])):
+            self._parts = [np.unique(np.concatenate(self._parts))]
+        return self._parts[0] if self._parts else np.empty(0, np.int64)
 
     def unique_count(self) -> int:
         with self._lock:
-            return len(self._touched)
+            return int(len(self._compact_locked()))
 
     def drain(self) -> list[int]:
         with self._lock:
-            out = sorted(self._touched)
-            self._touched.clear()
+            out = self._compact_locked().tolist()
+            self._parts = []
             return out
 
 

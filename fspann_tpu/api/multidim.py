@@ -65,9 +65,23 @@ class MultiDimSystem:
         return self.system_for(token.dimension).search(token)
 
     def run_selective_reencryption(self) -> dict:
-        """Global rotation, per-dim migration of each dim's touched set."""
+        """Global rotation, per-dim migration of each dim's touched set.
+
+        The rotation goes THROUGH a sub-system's KeyRotationService (not
+        ``km.rotate()`` directly) so pin/freeze are honored: a restored,
+        version-pinned sub-system refuses global rotation instead of being
+        rotated out from under its pin."""
+        for dim, sys_ in self._systems.items():
+            rot = sys_.rotation
+            if rot.rotation_frozen or rot.pinned_version is not None:
+                return {"skipped": True,
+                        "reason": f"dimension {dim} rotation pinned/frozen"}
         old = self.km.current_version
-        self.km.rotate()
+        first = next(iter(self._systems.values()), None)
+        if first is None:
+            self.km.rotate()   # no sub-systems yet: nothing pinned
+        else:
+            first.rotation.force_rotate_now()
         out = {"old_version": old, "new_version": self.km.current_version,
                "per_dim": {}}
         for dim, sys_ in self._systems.items():

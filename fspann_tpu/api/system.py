@@ -169,6 +169,31 @@ class ForwardSecureANNSystem:
     def create_token(self, query: np.ndarray, top_k: int) -> QueryToken:
         return self.tokens.create(query, top_k)
 
+    def kadaptive_probe_enabled(self) -> bool:
+        return self.cfg.kadaptive.enabled
+
+    def kadaptive_widen(self) -> tuple[int, int]:
+        """Probe-only adaptive widening (reference runKAdaptiveProbeOnly,
+        ForwardSecureANNSystem.java:1598-1617): multiply the current
+        effective probe count by ``probe_factor``, capped at ``max_fanout``,
+        WITHOUT executing a search.  No-op unless kadaptive.enabled.
+        Returns (old_probes, new_probes)."""
+        import dataclasses
+
+        ka = self.cfg.kadaptive
+        cur = self.cfg.runtime.effective_probes()
+        if not ka.enabled:
+            return cur, cur
+        new = max(cur, min(int(cur * ka.probe_factor), ka.max_fanout))
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            runtime=dataclasses.replace(self.cfg.runtime, probe_override=new))
+        # components read cfg.runtime per call — repoint them at the new
+        # frozen config object
+        self.query_service.cfg = self.cfg
+        self.index.cfg = self.cfg
+        return cur, new
+
     def search(self, token: QueryToken):
         if self.background:
             self.background.note_query()
@@ -301,6 +326,11 @@ class ForwardSecureANNSystem:
         force one rotation, drain the touched set, migrate, report."""
         if not self.cfg.reencryption.enabled:
             return {"skipped": True}
+        if self.rotation.rotation_frozen \
+                or self.rotation.pinned_version is not None:
+            # query-only restore pins a version; the end-of-run rotation
+            # must not rotate it out from under the pin
+            return {"skipped": True, "reason": "rotation pinned/frozen"}
         old_version = self.km.current_version
         self.rotation.force_rotate_now()
         touched = self.tracker.drain()

@@ -83,6 +83,10 @@ class RuntimeConfig:
     # many ids.  Uses only information the server already holds (the codes),
     # so the leakage profile is unchanged; costs G*W words/point of HBM.
     rerank_limit: int = 0
+    # Flat-scan scratch budget in MB (scan mode): the [Q, N] rank scratch
+    # switches to the chunked running-top-L scan past this.  0 = auto from
+    # the scan device's reported free memory (index/service.py).
+    scan_flat_budget_mb: int = 0
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
     # Where ingestion encoding + partition build run: "default" (the
@@ -153,6 +157,18 @@ class CloakConfig:
 
 
 @dataclass(frozen=True)
+class KAdaptiveConfig:
+    """Probe-only adaptive widening — an ablation knob that multiplies the
+    current probe count per invocation, capped at ``max_fanout``, WITHOUT
+    executing a search (reference SystemConfig.KAdaptiveConfig:424-428 +
+    runKAdaptiveProbeOnly, ForwardSecureANNSystem.java:1598-1617)."""
+
+    enabled: bool = False
+    probe_factor: float = 2.0
+    max_fanout: int = 64
+
+
+@dataclass(frozen=True)
 class KeyConfig:
     ops_threshold: int = 1_000_000_000
     age_threshold_ms: int = 999_999_999_999
@@ -173,6 +189,7 @@ class SystemConfig:
     ratio: RatioConfig = field(default_factory=RatioConfig)
     reencryption: ReencryptionConfig = field(default_factory=ReencryptionConfig)
     cloak: CloakConfig = field(default_factory=CloakConfig)
+    kadaptive: KAdaptiveConfig = field(default_factory=KAdaptiveConfig)
     keys: KeyConfig = field(default_factory=KeyConfig)
     output: OutputConfig = field(default_factory=OutputConfig)
     profile_name: str = ""
@@ -209,6 +226,7 @@ _BLOCK_TYPES: dict[str, type] = {
     "ratio": RatioConfig,
     "reencryption": ReencryptionConfig,
     "cloak": CloakConfig,
+    "kadaptive": KAdaptiveConfig,
     "keys": KeyConfig,
     "output": OutputConfig,
 }
@@ -239,6 +257,9 @@ _FIELD_ALIASES = {
     "encodeBackend": "encode_backend",
     "rerankLimit": "rerank_limit",
     "routingMode": "routing_mode",
+    "scanFlatBudgetMb": "scan_flat_budget_mb",
+    "probeFactor": "probe_factor",
+    "maxFanout": "max_fanout",
 }
 
 
@@ -279,6 +300,8 @@ _TOP_LEVEL_KEYS = {
 
 
 def _apply_blocks(cfg: SystemConfig, data: dict[str, Any]) -> SystemConfig:
+    if "kAdaptive" in data and "kadaptive" not in data:
+        data = {**data, "kadaptive": data["kAdaptive"]}   # reference JSON key
     updates: dict[str, Any] = {}
     for block, cls in _BLOCK_TYPES.items():
         if block in data and data[block] is not None:

@@ -548,6 +548,16 @@ static int open_batch_rec_id_range(const void *ctx,
         scratch = (ct_len <= sizeof(scratch_stack))
             ? scratch_stack : (uint8_t *)malloc(ct_len);
     const uint64_t row_stride = payload_f16 ? ct_len * 2 : ct_len;
+    if (payload_f16 && scratch == NULL) {
+        /* allocation failure: fail the whole range cleanly (ok=0, zeroed
+         * plaintext + norms) instead of dereferencing NULL below */
+        for (size_t i = lo; i < hi; i++) {
+            memset(pt + pt_off[i], 0, row_stride);
+            ok[i] = 0;
+            if (norms) norms[pt_off[i] / row_stride] = 0.f;
+        }
+        return (int)(hi - lo);
+    }
 #if defined(__F16C__)
     const int have_f16c = __builtin_cpu_supports("f16c");
 #else
@@ -571,7 +581,11 @@ static int open_batch_rec_id_range(const void *ctx,
                                  rec + tag_rel, dst);
         ok[i] = (uint8_t)(rc == 0);
         if (rc != 0) {
+            /* keep every output buffer fully defined: zero the row AND its
+             * norms slot (callers mask by ok, but a reused norms staging
+             * buffer must never leak a previous batch's values) */
             memset(pt + pt_off[i], 0, row_stride);
+            if (norms) norms[pt_off[i] / row_stride] = 0.f;
             failures++;
             continue;
         }

@@ -29,6 +29,10 @@ from ..store.point_store import PointStore, ReencryptReport
 from .keys import KeyManager
 
 
+class RotationRefused(RuntimeError):
+    """Forced rotation attempted against a pinned/frozen rotation service."""
+
+
 @dataclass
 class RotationPolicy:
     """Reference KeyRotationPolicy.java: {maxOperations, maxIntervalMillis}."""
@@ -48,6 +52,7 @@ class ReencryptionTracker:
     def __init__(self):
         self._lock = threading.Lock()
         self._parts: list = []
+        self._compacted = False   # _parts is one sorted-unique array
 
     def record(self, ids) -> None:
         ids = np.asarray(ids, np.int64)
@@ -55,12 +60,17 @@ class ReencryptionTracker:
             return
         with self._lock:
             self._parts.append(ids)
+            self._compacted = False
 
     def _compact_locked(self) -> "np.ndarray":
-        if len(self._parts) > 1 or (self._parts and
-                                    len(np.unique(self._parts[0]))
-                                    != len(self._parts[0])):
-            self._parts = [np.unique(np.concatenate(self._parts))]
+        """Collapse to ONE sorted-unique array (np.unique sorts — the
+        sorted-drain contract) and remember it, so repeated reads don't
+        re-pay np.unique over an already-compacted set."""
+        if self._parts and not self._compacted:
+            self._parts = [np.unique(np.concatenate(self._parts))
+                           if len(self._parts) > 1
+                           else np.unique(self._parts[0])]
+            self._compacted = True
         return self._parts[0] if self._parts else np.empty(0, np.int64)
 
     def unique_count(self) -> int:
@@ -71,6 +81,7 @@ class ReencryptionTracker:
         with self._lock:
             out = self._compact_locked().tolist()
             self._parts = []
+            self._compacted = False
             return out
 
 
@@ -115,6 +126,18 @@ class KeyRotationService:
         return kv.version
 
     def force_rotate_now(self) -> int:
+        """HARD rotation — but still refused under an explicit pin or
+        freeze: a version-pinned restore (query-only mode) must never be
+        rotated out from under its pin.  Deliberately stricter than the
+        reference's unconditional forceRotateNow
+        (KeyRotationServiceImpl.java:302-305); its rotateIfNeeded guard
+        (:67) is the semantic being protected."""
+        if self.rotation_frozen:
+            raise RotationRefused("rotation is frozen")
+        if self.pinned_version is not None:
+            raise RotationRefused(
+                f"key version pinned at {self.pinned_version} "
+                "(query-only restore) — refusing forced rotation")
         return self.rotate_key_only()
 
     # -- re-encryption -----------------------------------------------------------

@@ -73,6 +73,7 @@ class PartitionedIndex:
         # set by append_rows: the frozen partition table no longer covers
         # all rows; the probe path refuses to route until re-finalized
         self._table_stale = False
+        self._scan_budget_cache: int | None = None
         # staging
         self._bank_cpu = None
         self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
@@ -344,15 +345,21 @@ class PartitionedIndex:
         probes = probes or rt.effective_probes()
         limit = refinement_limit or rt.refinement_limit
         if rt.routing_mode == "scan" and self._scan_state is not None:
-            # MXU Hamming scan: global fine ranking, probes are moot.
-            # Past ~2M rows the flat scan's [Q, N] rank scratch outgrows
-            # HBM headroom — switch to the chunked running-top-L variant.
+            # MXU Hamming scan: global fine ranking, probes are moot —
+            # the caller's refinement_limit IS honored (it is the decrypt
+            # budget L; the adaptive-retry pass widens it).  When the
+            # [Q, N] rank scratch outgrows the device budget, switch to
+            # the chunked running-top-L variant.
             qbits = jnp.asarray(hamming_scan.unpack_bits_numpy(
                 np.asarray(qcodes), self.cfg.paper.code_bits))
-            scan_fn = hamming_scan.scan if self._n_rows <= (1 << 21) \
+            scan_l = min(refinement_limit or rt.effective_refinement(),
+                         self._n_rows)
+            flat_bytes = qbits.shape[0] * self._n_rows * 12
+            scan_fn = hamming_scan.scan \
+                if flat_bytes <= self._scan_flat_budget() \
                 else hamming_scan.scan_chunked
             res = scan_fn(self._scan_state, qbits, self._tombstones(),
-                          rt.effective_refinement())
+                          scan_l)
         elif self._table_stale:
             raise RuntimeError(
                 "partition table stale after live inserts — probe routing "
@@ -375,6 +382,30 @@ class PartitionedIndex:
                                       np.asarray(res.n_unique),
                                       np.asarray(res.n_raw))
         return res
+
+    def _scan_flat_budget(self) -> int:
+        """Bytes of [Q, N] rank scratch the flat scan may allocate before
+        route_batch switches to the chunked running-top-L scan.  Config knob
+        ``runtime.scan_flat_budget_mb``; 0 = auto — half the scan device's
+        reported free memory (limit minus in-use, which already counts the
+        resident bit matrix), falling back to 2 GiB on backends that report
+        no memory stats (host CPU)."""
+        mb = self.cfg.runtime.scan_flat_budget_mb
+        if mb > 0:
+            return mb << 20
+        if self._scan_budget_cache is None:
+            budget = 2 << 30
+            try:
+                dev = next(iter(self._scan_state.bits.devices()))
+                stats = dev.memory_stats()
+                if stats and stats.get("bytes_limit"):
+                    free = int(stats["bytes_limit"]) \
+                        - int(stats.get("bytes_in_use", 0))
+                    budget = max(free // 2, 256 << 20)
+            except Exception:
+                pass
+            self._scan_budget_cache = budget
+        return self._scan_budget_cache
 
     @property
     def size(self) -> int:
@@ -432,6 +463,13 @@ class PartitionedIndex:
             if "point_codes" not in z.files:
                 return False   # checkpoint predates rerank/scan — rebuild
             codes = z["point_codes"].astype(np.uint32)
+            if codes.shape != (int(z["n_rows"]), pp.num_groups,
+                               pp.code_words):
+                # truncated/mismatched checkpoint: a scan state whose
+                # leading dim disagrees with the tombstone mask would fail
+                # at query trace time (or silently clamp rerank gathers) —
+                # take the decrypt-and-rebuild path instead
+                return False
             if rt.rerank_limit > 0 and rt.routing_mode != "scan":
                 self.point_codes = jax.device_put(codes)
             if rt.routing_mode == "scan":

@@ -237,7 +237,6 @@ def route_rerank(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     safe = jnp.minimum(sid, point_codes.shape[0] - 1)   # pads=INT32_MAX
     pc = point_codes[safe].reshape(q, sid.shape[1], g * w)
     fine = hamming(qcodes.reshape(q, 1, g * w), pc)
-    fine = jnp.where(sid != INT32_MAX, fine, _INF)
     k = min(limit, sid.shape[-1])
     if approx:
         # TPU-native PartialReduce truncation (lax.approx_max_k): each true
@@ -246,14 +245,22 @@ def route_rerank(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
         # true neighbors, so end recall is statistically unchanged while
         # the truncation is much cheaper than exact top_k at large L.
         # Deterministic given shapes (restore-equality safe).
-        neg, idx = jax.lax.approx_max_k(-fine.astype(jnp.float32), k,
+        # Dead entries get the 2^30 sentinel, NOT _INF: INT32_MAX is not
+        # f32-exact, and negating the saturated round trip would flip pads
+        # to "best possible" (the hazard hamming_scan._DEAD documents).
+        dead = jnp.int32(1 << 30)
+        fa = jnp.where(sid != INT32_MAX, fine, dead)
+        neg, idx = jax.lax.approx_max_k(-fa.astype(jnp.float32), k,
                                         recall_target=0.98)
-        neg = neg.astype(jnp.int32)
+        score = (-neg).astype(jnp.int32)
     else:
+        fine = jnp.where(sid != INT32_MAX, fine, _INF)
         neg, idx = jax.lax.top_k(-fine, k)
+        score = -neg
     rid = jnp.take_along_axis(sid, idx, axis=-1)
+    score = jnp.where(rid == INT32_MAX, _INF, score)   # pads rank last
     rid = jnp.where(rid == INT32_MAX, -1, rid)
-    return RouteResult(rid, -neg, jnp.minimum(n_unique, k), n_raw)
+    return RouteResult(rid, score, jnp.minimum(n_unique, k), n_raw)
 
 
 @partial(jax.jit, static_argnames=("limit",))

@@ -137,8 +137,10 @@ class QueryService:
             if tokens:
                 t_start = time.perf_counter()
                 qvecs = self._decrypt_queries(tokens)
+                # limit=None lets the index pick the per-mode default
+                # (refinement_limit for probe, effective_refinement for scan)
                 routed = self._dispatch_route(tokens, rt.effective_probes(),
-                                              rt.refinement_limit)
+                                              None)
                 current = (tokens, qvecs, routed, t_start)
             if pending is not None:
                 res = self._finish_batch(*pending)
@@ -162,13 +164,27 @@ class QueryService:
                                                touched_parts, t_start)
 
         # Adaptive retry (once) for underfilled queries — synchronous, rare.
+        # Probe mode widens probes (reference probeOverride=10 escalation);
+        # scan mode widens the decrypt budget L instead — the scan is
+        # already exact over the whole corpus, so re-probing would re-pay
+        # an identical scan for an identical result.  Skip entirely when L
+        # already covers every live row (nothing wider exists).
         need = [qi for qi, s in enumerate(stats) if self._need_retry(s, k)]
-        if need and rt.retry_probes > rt.effective_probes():
+        if rt.routing_mode == "scan":
+            retry_probes, retry_limit = rt.effective_probes(), \
+                2 * rt.effective_refinement()
+            do_retry = bool(need) and \
+                rt.effective_refinement() < self.index.size
+        else:
+            retry_probes, retry_limit = rt.retry_probes, None
+            do_retry = bool(need) and \
+                rt.retry_probes > rt.effective_probes()
+        if do_retry:
             sub_tokens = [tokens[qi] for qi in need]
             sub_q = qvecs[need]
             t_retry = time.perf_counter()
-            routed2 = self._dispatch_route(sub_tokens, rt.retry_probes,
-                                           rt.refinement_limit)
+            routed2 = self._dispatch_route(sub_tokens, retry_probes,
+                                           retry_limit)
             rids, rdists, rstats = self._consume_pass(
                 sub_tokens, sub_q, routed2, k, touched_parts, t_retry)
             for j, qi in enumerate(need):

@@ -187,7 +187,7 @@ def main():
 
         # Warmup (compile) on a small slice, then timed run.
         sys_.run_queries(queries[:batch], gtm, base, ks=(10,))
-        sys_.profiler.rows.clear()
+        sys_.profiler.clear_rows()
         t0 = time.perf_counter()
         agg = sys_.run_queries(queries, gtm, base, ks=(1, 10, 100))
         wall = time.perf_counter() - t0

@@ -95,17 +95,18 @@ def main(argv=None) -> int:
             gtm = groundtruth.precompute(base, queries,
                                          k=system.cfg.eval.max_k)
 
-        eval_queries = queries
+        eval_queries, real_src = queries, None
         if args.decoys or cfg.cloak.enabled:
             from ..query.decoy import DecoyGenerator
             gen = DecoyGenerator(dim, rate=cfg.cloak.rate,
                                  seed=cfg.cloak.seed, mode=cfg.cloak.mode)
-            eval_queries, real_mask = gen.interleave(queries)
+            # decoys run the full pipeline (the access-pattern cloak);
+            # recall/ratio are computed on the real queries only via
+            # real_src (reference ForwardSecureANNSystem.java:172-183)
+            eval_queries, real_src = gen.interleave(queries)
             print(f"decoys: {len(eval_queries) - len(queries)} injected",
                   file=sys.stderr)
-            agg = system.run_queries(eval_queries)  # metrics meaningless w/ decoys
-        else:
-            agg = system.run_queries(queries, gtm, base)
+        agg = system.run_queries(eval_queries, gtm, base, real_src=real_src)
         print(agg.paper_line(), file=sys.stderr)
 
         if not args.no_reencrypt:

@@ -37,7 +37,7 @@ from ..store.point_store import PointStore
 from ..types import QueryToken
 from ..utils.cache import ExpiringCache
 from ..utils.metrics import MetricsRegistry
-from ..utils.profiler import Profiler, QueryRow
+from ..utils.profiler import Profiler
 from ..utils.storage_metrics import StorageMetrics
 
 
@@ -213,13 +213,31 @@ class ForwardSecureANNSystem:
     def run_queries(self, queries: np.ndarray,
                     gtm: GroundtruthManager | None = None,
                     base: np.ndarray | None = None,
-                    ks: tuple[int, ...] | None = None) -> Aggregates:
+                    ks: tuple[int, ...] | None = None,
+                    real_src: np.ndarray | None = None) -> Aggregates:
         """Evaluation loop (reference runQueries:622-747): batch queries,
-        search at MAX_K once, compute metrics per K by prefix slicing."""
+        search at MAX_K once, compute metrics per K by prefix slicing.
+
+        ``real_src`` enables decoy interleaving (reference
+        ForwardSecureANNSystem.java:172-183 + DecoyQueryGenerator.java:91):
+        entry i is the ORIGINAL index of query i (for gt/metrics lookup), or
+        -1 for an injected decoy.  Decoys run the FULL pipeline — tokens,
+        search, touched-set tracking; that dilution is the cloak — but
+        contribute nothing to recall/ratio, diagnostics, or profiler rows.
+
+        Bookkeeping is vectorized per batch (numpy column blocks into the
+        profiler); per-row object construction cost ~1 ms/query ×7
+        K-variants at serving rates."""
         ks = ks or self.cfg.eval.k_variants
         max_k = max(ks)
         queries = np.asarray(queries, np.float32)
         nq = len(queries)
+        if real_src is None:
+            real_src = np.arange(nq, dtype=np.int64)
+        else:
+            real_src = np.asarray(real_src, np.int64)
+            if len(real_src) != nq:
+                raise ValueError("real_src length must match queries")
         probes = self.cfg.runtime.effective_probes()
         n_base = max(self.index.size, 1)
 
@@ -230,53 +248,82 @@ class ForwardSecureANNSystem:
             all_res = self.query_service.search_batches(batches)
         for bi, (s, res) in enumerate(zip(starts, all_res)):
             toks = batches[bi]
-            q_block = queries[s:s + self.query_batch]
+            qb = len(toks)
             if self.background:
                 self.background.note_query()
-            recalls, ratios = self._metrics_block(s, len(q_block), res.ids,
-                                                  res.distances, ks, gtm,
-                                                  base, queries)
-            for j in range(len(q_block)):
-                qi = s + j
-                st = res.stats[j]
-                if gtm is not None:
-                    k10 = min(10, max_k)
-                    r10 = recalls.get(k10, recalls[min(recalls)])[j] \
-                        if recalls else 0.0
-                    self.diagnostics.record(qi, float(r10),
-                                            res.ids[j][:k10],
-                                            res.distances[j][:k10],
-                                            gtm.get(qi, k10))
-                self.metrics.record("query.server_ms", st.server_ns / 1e6)
-                self.metrics.record("query.decrypt_ms", st.decrypt_ns / 1e6)
-                if st.cand_raw > self.cfg.runtime.hard_cap:
-                    # fanout guard (reference -Dguard.fanout.warn,
-                    # ForwardSecureANNSystem.java:115)
-                    self.metrics.count("query.fanout_warn")
-                for k in ks:
-                    self.profiler.record_row(QueryRow(
-                        query_index=qi, k=k,
-                        recall_at_k=float(recalls[k][j]) if recalls
-                        else float("nan"),
-                        distance_ratio_at_k=float(ratios[k][j]) if ratios
-                        else float("nan"),
-                        candidate_ratio_at_k=st.cand_refined / n_base,
-                        cand_raw=st.cand_raw, cand_unique=st.cand_unique,
-                        cand_refined=st.cand_refined,
-                        cand_decrypted=st.cand_decrypted,
-                        returned=st.returned, retried=st.retried,
-                        route_ms=st.route_ns / 1e6,
-                        decrypt_ms=st.decrypt_ns / 1e6,
-                        refine_ms=st.refine_ns / 1e6,
-                        server_ms=st.server_ns / 1e6,
-                        token_key_version=toks[j].key_version,
-                        probes=probes))
-        return Aggregates.from_rows(self.profiler.rows)
+            st = res.stats
+            server_ms = np.fromiter((t.server_ns for t in st),
+                                    np.float64, qb) / 1e6
+            decrypt_ms = np.fromiter((t.decrypt_ns for t in st),
+                                     np.float64, qb) / 1e6
+            cand_raw = np.fromiter((t.cand_raw for t in st), np.int64, qb)
+            # operational metrics cover the whole stream, decoys included
+            self.metrics.record_many("query.server_ms", server_ms)
+            self.metrics.record_many("query.decrypt_ms", decrypt_ms)
+            n_warn = int((cand_raw > self.cfg.runtime.hard_cap).sum())
+            if n_warn:
+                # fanout guard (reference -Dguard.fanout.warn,
+                # ForwardSecureANNSystem.java:115)
+                self.metrics.count("query.fanout_warn", n_warn)
 
-    def _metrics_block(self, start, qb, ret_ids, ret_dist, ks, gtm, base,
-                       queries):
+            src_block = real_src[s:s + qb]
+            rpos = np.flatnonzero(src_block >= 0)
+            if not len(rpos):
+                continue
+            orig = src_block[rpos]
+            ids_r = res.ids[rpos]
+            dist_r = res.distances[rpos]
+            recalls, ratios = self._metrics_block(
+                orig, queries[s:s + qb][rpos], ids_r, dist_r, ks, gtm, base)
+            if gtm is not None:
+                k10 = min(10, max_k)
+                r10s = recalls.get(k10, recalls[min(recalls)]) if recalls \
+                    else np.zeros(len(rpos))
+                for j, oi in enumerate(orig):
+                    self.diagnostics.record(int(oi), float(r10s[j]),
+                                            ids_r[j][:k10], dist_r[j][:k10],
+                                            gtm.get(int(oi), k10))
+            nr = len(rpos)
+            cand_refined = np.fromiter((t.cand_refined for t in st),
+                                       np.int64, qb)[rpos]
+            common = dict(
+                query_index=orig,
+                candidate_ratio_at_k=cand_refined / n_base,
+                cand_raw=cand_raw[rpos],
+                cand_unique=np.fromiter((t.cand_unique for t in st),
+                                        np.int64, qb)[rpos],
+                cand_refined=cand_refined,
+                cand_decrypted=np.fromiter((t.cand_decrypted for t in st),
+                                           np.int64, qb)[rpos],
+                returned=np.fromiter((t.returned for t in st),
+                                     np.int64, qb)[rpos],
+                retried=np.fromiter((t.retried for t in st), bool, qb)[rpos],
+                route_ms=np.fromiter((t.route_ns for t in st),
+                                     np.float64, qb)[rpos] / 1e6,
+                decrypt_ms=decrypt_ms[rpos],
+                refine_ms=np.fromiter((t.refine_ns for t in st),
+                                      np.float64, qb)[rpos] / 1e6,
+                server_ms=server_ms[rpos],
+                token_key_version=np.fromiter(
+                    (t.key_version for t in toks), np.int64, qb)[rpos],
+                probes=np.full(nr, probes, np.int64))
+            nan = np.full(nr, np.nan)
+            for k in ks:
+                self.profiler.record_block(
+                    k=np.full(nr, k, np.int64),
+                    recall_at_k=np.asarray(recalls[k], np.float64)
+                    if recalls else nan,
+                    distance_ratio_at_k=np.asarray(ratios[k], np.float64)
+                    if ratios else nan,
+                    **common)
+        return Aggregates.from_profiler(self.profiler)
+
+    def _metrics_block(self, orig_idx, qvecs, ret_ids, ret_dist, ks, gtm,
+                       base):
         """Vectorized recall@K / distance-ratio@K for one query batch
         (reference computeMetricsAtK:770-835; QueryMetrics.java:7-21).
+        ``orig_idx`` maps block rows to ORIGINAL query indices (decoy
+        interleaving makes the two differ).
 
         recall@K = |returned@K ∩ gt@K| / K; ratio@K = mean over i<K of
         max(d(q, ret_i)/d(q, gt_i), 1).
@@ -284,14 +331,14 @@ class ForwardSecureANNSystem:
         if gtm is None:
             return {}, {}
         max_k = max(ks)
-        gt = gtm.gt[start:start + qb, :max_k]             # [QB, maxK]
+        qb = len(orig_idx)
+        gt = gtm.gt[orig_idx, :max_k]                     # [QB, maxK]
         recalls: dict[int, np.ndarray] = {}
         ratios: dict[int, np.ndarray] = {}
         d_gt = None
         if base is not None:
             gvecs = np.asarray(base[gt.reshape(-1)], np.float32)
-            diffs = gvecs.reshape(qb, max_k, -1) - \
-                queries[start:start + qb][:, None, :]
+            diffs = gvecs.reshape(qb, max_k, -1) - qvecs[:, None, :]
             d_gt = np.sqrt(np.einsum("qkd,qkd->qk", diffs, diffs))
         for k in ks:
             got = ret_ids[:, :k]                          # [QB, k]
@@ -384,7 +431,7 @@ class ForwardSecureANNSystem:
         os.makedirs(results_dir, exist_ok=True)
         self.profiler.export_csv(
             os.path.join(results_dir, "profiler_metrics.csv"))
-        agg = Aggregates.from_rows(self.profiler.rows)
+        agg = Aggregates.from_profiler(self.profiler)
         write_csvs(agg, results_dir)
         reenc = getattr(self, "_reenc_last", None)
         if reenc:

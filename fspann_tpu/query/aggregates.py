@@ -12,6 +12,8 @@ import csv
 import os
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..utils.profiler import QueryRow
 
 STANDARD_KS = (1, 10, 20, 40, 60, 80, 100)
@@ -66,6 +68,54 @@ class Aggregates:
         agg.mean_cand_decrypted = sum(r.cand_decrypted for r in qrows) / n
         agg.mean_returned = sum(r.returned for r in qrows) / n
         agg.retry_fraction = sum(1 for r in qrows if r.retried) / n
+        return agg
+
+    @classmethod
+    def from_profiler(cls, profiler) -> "Aggregates":
+        """Vectorized aggregation straight from the profiler's column
+        blocks — no per-row object materialization (the per-object path
+        cost ~1 ms/query ×7 K-variants at serving rates)."""
+        cols = profiler.columns()
+        if cols is None:
+            return cls()
+        return cls.from_columns(cols)
+
+    @classmethod
+    def from_columns(cls, c: dict[str, np.ndarray]) -> "Aggregates":
+        k_col = np.asarray(c["k"])
+        qi = np.asarray(c["query_index"])
+        # per-query stats are identical across a query's K rows; pick one K
+        # and keep each query's LAST row (matches from_rows' last-wins)
+        sel = np.flatnonzero(k_col == k_col.min())
+        q_ids = qi[sel]
+        _, last_rev = np.unique(q_ids[::-1], return_index=True)
+        keep = sel[len(q_ids) - 1 - last_rev]
+        n = len(keep)
+        server = np.asarray(c["server_ms"], np.float64)[keep]
+        agg = cls(num_queries=n)
+        agg.mean_art_ms = float(server.mean())
+        lat = np.sort(server)
+        agg.p50_art_ms = float(lat[n // 2])
+        agg.p95_art_ms = float(lat[min(n - 1, int(0.95 * (n - 1)))])
+        recall = np.asarray(c["recall_at_k"], np.float64)
+        ratio = np.asarray(c["distance_ratio_at_k"], np.float64)
+        cand_ratio = np.asarray(c["candidate_ratio_at_k"], np.float64)
+        for k in np.unique(k_col):
+            m = k_col == k
+            agg.recall_at_k[int(k)] = float(recall[m].mean())
+            r = ratio[m]
+            r = r[~np.isnan(r)]
+            agg.ratio_at_k[int(k)] = float(r.mean()) if len(r) \
+                else float("nan")
+            agg.candidate_ratio_at_k[int(k)] = float(cand_ratio[m].mean())
+        agg.mean_cand_unique = float(
+            np.asarray(c["cand_unique"], np.float64)[keep].mean())
+        agg.mean_cand_decrypted = float(
+            np.asarray(c["cand_decrypted"], np.float64)[keep].mean())
+        agg.mean_returned = float(
+            np.asarray(c["returned"], np.float64)[keep].mean())
+        agg.retry_fraction = float(
+            np.asarray(c["retried"], np.float64)[keep].mean())
         return agg
 
     def paper_line(self) -> str:

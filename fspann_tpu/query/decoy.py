@@ -40,7 +40,12 @@ class DecoyGenerator:
 
     def interleave(self, queries: np.ndarray
                    ) -> tuple[np.ndarray, np.ndarray]:
-        """Shuffle decoys into the real stream.  Returns (mixed, real_mask).
+        """Shuffle decoys into the real stream.  Returns (mixed, real_src):
+        ``real_src[i]`` is the ORIGINAL index of ``mixed[i]`` in ``queries``
+        (so evaluation can look up ground truth for real queries while
+        decoys flow through the full pipeline — reference
+        DecoyQueryGenerator.java:91 keeps the real positions), or -1 for an
+        injected decoy.  ``real_src >= 0`` recovers the boolean mask.
 
         Decoy count ≈ Poisson(rate · n) with jitter (reference :91-130).
         """
@@ -49,7 +54,7 @@ class DecoyGenerator:
         decoys = self.generate(n_decoys, queries)
         mixed = np.concatenate([queries, decoys]) if n_decoys else \
             np.asarray(queries)
-        mask = np.zeros(len(mixed), bool)
-        mask[:n] = True
+        src = np.concatenate([np.arange(n, dtype=np.int64),
+                              np.full(n_decoys, -1, np.int64)])
         perm = self.rng.permutation(len(mixed))
-        return mixed[perm], mask[perm]
+        return mixed[perm], src[perm]

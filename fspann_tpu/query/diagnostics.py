@@ -37,21 +37,27 @@ class QueryDiagnostics:
         self.total += 1
         if recall == 0.0:
             self.zero_hit_queries.append(query_index)
+        # cheap checks FIRST: the id/dist lists are only materialized when
+        # the entry will actually be kept (capacities are ~20; list
+        # construction per query was measurable on the eval loop)
+        want_sample = len(self.samples) < self.sample_capacity
+        worst_full = len(self._worst) >= self.worst_capacity
+        # heap ordered by -recall: the root is the *best* (highest-recall)
+        # of the kept set; a new query displaces it only if strictly worse
+        want_worst = (not worst_full) or -recall > self._worst[0].recall
+        if not (want_sample or want_worst):
+            return
         entry = _WorstEntry(-recall, query_index,
                             [int(i) for i in returned_ids],
                             [float(d) for d in returned_dists],
                             [int(i) for i in gt_ids])
-        if len(self.samples) < self.sample_capacity:
+        if want_sample:
             self.samples.append(entry)
-        if len(self._worst) < self.worst_capacity:
-            heapq.heappush(self._worst, entry)
-        else:
-            # keep the lowest-recall queries: heap ordered by -recall, so the
-            # root is the *best* (highest-recall) of the kept set; a new
-            # query displaces it only if strictly worse
-            if entry.recall <= self._worst[0].recall:
-                return
-            heapq.heapreplace(self._worst, entry)
+        if want_worst:
+            if worst_full:
+                heapq.heapreplace(self._worst, entry)
+            else:
+                heapq.heappush(self._worst, entry)
 
     def worst(self) -> list[_WorstEntry]:
         return sorted(self._worst, key=lambda e: -e.recall)

@@ -37,6 +37,32 @@ class Summary:
             if j < self._cap:
                 self._samples[j] = value
 
+    def record_many(self, values) -> None:
+        """Vectorized bulk record (numpy array) — one pass for the
+        count/total/min/max updates, per-value work only for the bounded
+        reservoir."""
+        n = len(values)
+        if not n:
+            return
+        vmin, vmax = float(values.min()), float(values.max())
+        self.min = min(self.min, vmin)
+        self.max = max(self.max, vmax)
+        self.total += float(values.sum())
+        room = self._cap - len(self._samples)
+        if room >= n:
+            self._samples.extend(float(v) for v in values)
+            self.count += n
+        else:
+            for v in values:          # reservoir path, rare
+                self.count += 1
+                if len(self._samples) < self._cap:
+                    self._samples.append(float(v))
+                else:
+                    import random
+                    j = random.randrange(self.count)
+                    if j < self._cap:
+                        self._samples[j] = float(v)
+
     @property
     def mean(self) -> float:
         return self.total / self.count if self.count else 0.0
@@ -62,6 +88,10 @@ class MetricsRegistry:
     def record(self, name: str, value: float) -> None:
         with self._lock:
             self.summaries.setdefault(name, Summary()).record(value)
+
+    def record_many(self, name: str, values) -> None:
+        with self._lock:
+            self.summaries.setdefault(name, Summary()).record_many(values)
 
     def timer(self, name: str):
         """Context manager recording elapsed ms into a summary."""

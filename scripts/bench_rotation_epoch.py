@@ -72,7 +72,7 @@ def main():
             return agg
 
         s.run_queries(queries[:64], gtm, base, ks=(10,))  # warmup/compile
-        s.profiler.rows.clear()
+        s.profiler.clear_rows()
         a1 = phase("steady")
 
         s.rotation.force_rotate_now()

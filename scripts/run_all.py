@@ -39,7 +39,7 @@ def run_profile(cfg, base, queries, out_dir, profile, gtm=None):
             gtm = groundtruth.precompute(base, queries, k=cfg.eval.max_k)
         # warmup batch: exclude jit compile from the measured sweep
         system.run_queries(queries[:min(64, len(queries))], gtm, base)
-        system.profiler.rows.clear()
+        system.profiler.clear_rows()
         t0 = time.time()
         agg = system.run_queries(queries, gtm, base)
         query_s = time.time() - t0

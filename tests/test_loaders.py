@@ -129,9 +129,12 @@ def test_decoy_generator(rng):
     from fspann_tpu.query.decoy import DecoyGenerator
     gen = DecoyGenerator(dim=16, rate=0.5)
     real = rng.normal(size=(40, 16)).astype(np.float32) * 3
-    mixed, mask = gen.interleave(real)
+    mixed, src = gen.interleave(real)
+    mask = src >= 0
     assert mask.sum() == 40
     assert len(mixed) >= 40
+    # src maps each real mixed row back to its original query
+    np.testing.assert_allclose(mixed[mask], real[src[mask]], rtol=1e-6)
     np.testing.assert_allclose(
         np.sort(np.linalg.norm(mixed[mask], axis=1)),
         np.sort(np.linalg.norm(real, axis=1)), rtol=1e-5)

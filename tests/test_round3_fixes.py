@@ -226,6 +226,74 @@ def test_kadaptive_disabled_noop(tmp_path):
         sys_.shutdown()
 
 
+def test_decoy_interleaving_preserves_real_metrics(tmp_path, corpus):
+    """VERDICT r2 missing 1: decoys must flow through the FULL pipeline
+    while recall/ratio are computed on real queries only — and the decoy
+    traffic must measurably dilute the touched-id set (the cloak)."""
+    from fspann_tpu.query.decoy import DecoyGenerator
+
+    base, queries = corpus
+    gtm = groundtruth.precompute(base, queries, k=10)
+
+    def build(name):
+        s = ForwardSecureANNSystem(scan_cfg(), str(tmp_path / name), DIM,
+                                   query_batch=8)
+        s.index_stream(base, batch_size=600)
+        s.finalize_for_search()
+        return s
+
+    plain = build("plain")
+    cloak = build("cloak")
+    try:
+        agg0 = plain.run_queries(queries, gtm, base)
+        touched0 = plain.tracker.unique_count()
+
+        gen = DecoyGenerator(DIM, rate=1.0, seed=7)
+        mixed, src = gen.interleave(queries)
+        assert (src >= 0).sum() == len(queries)
+        agg1 = cloak.run_queries(mixed, gtm, base, real_src=src)
+        touched1 = cloak.tracker.unique_count()
+
+        # real-query metrics unchanged by the interleaved decoys
+        assert agg1.num_queries == agg0.num_queries == len(queries)
+        assert agg1.recall_at_k[10] == pytest.approx(agg0.recall_at_k[10])
+        assert agg1.ratio_at_k[10] == pytest.approx(agg0.ratio_at_k[10])
+        # decoys dilute the touched set (more unique ids decrypted)
+        assert touched1 > touched0
+        # diagnostics only saw real queries, with ORIGINAL indices
+        assert cloak.diagnostics.total == len(queries)
+        for e in cloak.diagnostics.samples:
+            assert 0 <= e.query_index < len(queries)
+    finally:
+        plain.shutdown()
+        cloak.shutdown()
+
+
+def test_aggregates_from_profiler_matches_from_rows(tmp_path, corpus):
+    from fspann_tpu.query.aggregates import Aggregates
+
+    base, queries = corpus
+    sys_ = ForwardSecureANNSystem(scan_cfg(), str(tmp_path / "agg"), DIM,
+                                  query_batch=8)
+    try:
+        sys_.index_stream(base, batch_size=600)
+        sys_.finalize_for_search()
+        gtm = groundtruth.precompute(base, queries, k=10)
+        a_fast = sys_.run_queries(queries, gtm, base)
+        a_rows = Aggregates.from_rows(sys_.profiler.rows)
+        assert a_fast.num_queries == a_rows.num_queries
+        assert a_fast.mean_art_ms == pytest.approx(a_rows.mean_art_ms)
+        assert a_fast.p95_art_ms == pytest.approx(a_rows.p95_art_ms)
+        for k in a_rows.recall_at_k:
+            assert a_fast.recall_at_k[k] == pytest.approx(
+                a_rows.recall_at_k[k])
+            assert a_fast.ratio_at_k[k] == pytest.approx(
+                a_rows.ratio_at_k[k])
+        assert a_fast.retry_fraction == pytest.approx(a_rows.retry_fraction)
+    finally:
+        sys_.shutdown()
+
+
 def test_scan_flat_budget_knob(tmp_path, corpus):
     """A tiny configured budget pushes the scan onto the chunked path; the
     result must be identical to the flat scan (exactness of the merge)."""

@@ -100,7 +100,7 @@ def test_selective_reencryption_and_query_stability(tmp_path, corpus):
         assert rep["reencrypted"] > 0
         assert rep["new_version"] == 2
         # queries still work against mixed-version ciphertexts
-        sys_.profiler.rows.clear()
+        sys_.profiler.clear_rows()
         agg2 = sys_.run_queries(queries, gtm, base)
         assert agg2.recall_at_k[10] == pytest.approx(r1, abs=1e-9), \
             "rotation must not change routing results"

@@ -52,6 +52,11 @@ class DistributedEncryptedSystem:
                                        placement="range")
         self.index: ShardedIndex | None = None
         self.n = 0
+        # reusable decrypt staging (grown on demand) — same fusion as the
+        # single-chip QueryService: no candidate-set-sized calloc per batch,
+        # norms computed inside the C open loop
+        self._stage_buf = np.zeros(0, np.float32)
+        self._norms_buf = np.zeros(0, np.float32)
 
     # -- build -----------------------------------------------------------------
 
@@ -96,11 +101,18 @@ class DistributedEncryptedSystem:
                 probe_shards=probe_shards, rerank_limit=rt.rerank_limit)
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1).astype(np.int64)
+        if self._stage_buf.size < flat.size * self.dim:
+            self._stage_buf = np.zeros(flat.size * self.dim, np.float32)
+            self._norms_buf = np.zeros(flat.size, np.float32)
+        out = self._stage_buf[:flat.size * self.dim].reshape(flat.size,
+                                                            self.dim)
+        norms = self._norms_buf[:flat.size]
         vecs, ok = self.store.load_decrypt_batch(flat,
-                                                 probe_shards=probe_shards)
+                                                 probe_shards=probe_shards,
+                                                 out=out, norms_out=norms)
         return _host_refine(queries, vecs.reshape(q, r, self.dim),
                             cand_ids.astype(np.int64), ok.reshape(q, r),
-                            k)[:2]
+                            k, c2=norms.reshape(q, r))[:2]
 
     # -- forward security --------------------------------------------------------
 

@@ -230,12 +230,13 @@ class PointStore:
     @_locked
     def load_decrypt_batch(self, ids: np.ndarray,
                            out: np.ndarray | None = None,
-                           norms_out: np.ndarray | None = None
+                           norms_out: np.ndarray | None = None,
+                           rows: np.ndarray | None = None
                            ) -> tuple[np.ndarray, np.ndarray]:
         """Load + decrypt candidates.  ids int [n]; pad/missing/tombstoned
         entries yield ok=False.  Returns (vecs f32 [n, dim], ok bool [n]).
 
-        ``out`` (f32 [n, dim], C-contiguous) reuses a caller-owned staging
+        ``out`` (f32 [>=n, dim], C-contiguous) reuses a caller-owned staging
         buffer: rows with ok=False then hold STALE bytes from earlier calls
         instead of zeros — only for hot-path callers that mask by ``ok``
         (page-faulting 100s of MB of fresh calloc per batch measurably beats
@@ -245,15 +246,30 @@ class PointStore:
         computed in the C open loop while the row is in L1 (f32 stores
         only; rows not ok are undefined — mask by ``ok``).
 
+        ``rows`` (int [n], requires ``out``) scatters result row i into
+        ``out[rows[i]]`` instead of ``out[i]`` — the sharded store decrypts
+        every shard's subset straight into ONE caller-owned staging matrix
+        with no per-shard intermediate copies (norms land at the same
+        scattered slots).  The returned ``ok`` stays indexed by input
+        position.
+
         Fully vectorized: one metadata gather, one mmap gather per live key
         version, ONE multi-key GCM open for the whole set (per-record key
         versions — reference QueryServiceImpl.java:250-251)."""
         ids = np.asarray(ids, np.int64)
         n = len(ids)
+        if rows is not None:
+            rows = np.asarray(rows, np.int64)
+            if out is None:
+                raise ValueError("rows= requires a caller-owned out= buffer")
+            if len(rows) != n:
+                raise ValueError("rows/ids length mismatch")
         if out is not None:
-            if out.shape != (n, self.dim) or out.dtype != np.float32 \
+            need = (int(rows.max(initial=-1)) + 1) if rows is not None else n
+            if out.ndim != 2 or out.shape[1] != self.dim \
+                    or out.shape[0] < need or out.dtype != np.float32 \
                     or not out.flags.c_contiguous:
-                raise ValueError("out must be C-contiguous f32 [n, dim]")
+                raise ValueError("out must be C-contiguous f32 [>=n, dim]")
             vecs = out
         else:
             vecs = np.zeros((n, self.dim), np.float32)
@@ -296,12 +312,13 @@ class PointStore:
                 continue
             # AADs are synthesized in C per record (L1 stack buffer) — the
             # numpy AAD matrix was a full DRAM pass as costly as the AES
+            dest = rows[sel] if rows is not None else sel
             ok_v = aesgcm.open_batch_records_by_id(
                 self.km.gcm_for(int(kv)),
                 reader._buf, off_all[sel].astype(np.uint64),
                 iv_rel, ct_rel, tag_rel, body,
                 ids[sel], int(kv), self.dim,
-                staging, (sel * out_body).astype(np.uint64),
+                staging, (dest * out_body).astype(np.uint64),
                 norms=norms_out, payload_f16=self.dtype == "f16")
             ok[sel] = ok_v.astype(bool)
         return vecs, ok

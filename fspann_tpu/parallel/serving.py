@@ -80,6 +80,74 @@ class DistributedEncryptedSystem:
         self.store.set_range_size(self.index.shard_rows)
         self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
 
+    def index_stream(self, data, batch_size: int = 100_000,
+                     n_total: int | None = None, sample: int = 1000) -> int:
+        """Streaming build — the stretch-scale ingestion path (reference
+        streaming loop, ForwardSecureANNSystem.java:438-479): consume the
+        corpus batch-by-batch, encrypt+persist each batch into the
+        shard-aligned arenas, and feed it to ``ShardedIndex.build_stream``
+        — the corpus is NEVER materialized (host peak ≈ one batch + the
+        bank sample; device peak = the shard's routing state).
+
+        ``data``: ndarray / vecs-file path (n known), or any iterator of
+        [b, d] chunks with ``n_total`` given.  Ids are stream ordinals.
+        """
+        from ..io import loaders
+
+        if isinstance(data, str):
+            data = loaders.load_vectors(data)
+        if hasattr(data, "shape"):
+            n_total = len(data) if n_total is None else min(n_total,
+                                                            len(data))
+            chunks = (b for _, b in loaders.stream_batches(
+                data, batch_size, n_total))
+        else:
+            if n_total is None:
+                raise ValueError("iterator input requires n_total")
+            chunks = iter(data)
+        if n_total <= 0:
+            raise ValueError("empty stream")
+        self.n = n_total
+        pp = self.cfg.paper
+        rt = self.cfg.runtime
+        rows = -(-n_total // self.ndev)
+        self.store.set_range_size(rows)
+
+        # bank from the first `sample` buffered rows, then replay
+        buf: list[np.ndarray] = []
+        buffered = 0
+        for c in chunks:
+            buf.append(np.ascontiguousarray(c, np.float32))
+            buffered += len(buf[-1])
+            if buffered >= min(sample, n_total):
+                break
+        if buffered == 0:
+            raise ValueError("empty stream")
+        sample_rows = np.concatenate(buf)[:sample] if len(buf) > 1 \
+            else buf[0][:sample]
+        bank = coding.build_bank_from_sample(
+            sample_rows, pp.m, pp.lam, pp.tables, pp.divisions, pp.seed,
+            pp.omega_divisor)
+        self.index = ShardedIndex(self.mesh, bank,
+                                  block_size=rt.block_size)
+
+        def feed():
+            import itertools
+            pos = 0
+            for c in itertools.chain(buf, chunks):
+                c = np.ascontiguousarray(c, np.float32)
+                ids = np.arange(pos, pos + len(c), dtype=np.int64)
+                self.store.insert_batch(ids, c)   # encrypt + persist
+                pos += len(c)
+                yield c
+
+        total = self.index.build_stream(
+            feed(), n_total,
+            keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),
+            keep_bits=rt.routing_mode == "scan")
+        self.store.flush()
+        return total
+
     # -- query -----------------------------------------------------------------
 
     def search_batch(self, queries: np.ndarray, k: int,

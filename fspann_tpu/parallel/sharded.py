@@ -125,6 +125,108 @@ class ShardedIndex:
         else:
             self.bits = self.popc = None
 
+    def build_stream(self, chunks, n_total: int, keep_codes: bool = False,
+                     keep_bits: bool = False) -> int:
+        """Streaming build: consume an iterator of [b, d] f32 chunks and
+        NEVER materialize the corpus (reference ingestion is a streaming
+        loop, ForwardSecureANNSystem.java:438-479; the one-shot ``build``
+        pads + device_puts the whole corpus — impossible at the 100M×768
+        stretch where the plaintext alone is ~300 GB).
+
+        Each chunk is sliced at shard-row boundaries and shipped to its
+        OWN device, where it is encoded in place (device-consistent with
+        query-time encoding — bit-identical codes) and the raw slice is
+        dropped; host peak memory is one chunk, device peak is the shard's
+        codes.  The per-device code arrays are then assembled into global
+        mesh-sharded arrays (``jax.make_array_from_single_device_arrays``)
+        and the per-shard partition build runs under ``shard_map`` exactly
+        like the one-shot path.
+        """
+        nd = self.n_devices
+        rows = -(-n_total // nd)
+        self.n = n_total
+        self.shard_rows = rows
+        devs = list(self.mesh.devices.reshape(-1))
+        bank = self.bank
+        g, w = bank.g, bank.code_words
+        banks = [jax.device_put(bank, dv) for dv in devs]
+
+        parts_codes: list[list] = [[] for _ in range(nd)]
+        parts_keys: list[list] = [[] for _ in range(nd)]
+        pos = 0
+        for c in chunks:
+            c = np.ascontiguousarray(c, np.float32)
+            o = 0
+            while o < len(c):
+                s = (pos + o) // rows
+                if s >= nd:
+                    raise ValueError(
+                        f"stream longer than n_total={n_total}")
+                take = min(len(c) - o, (s + 1) * rows - (pos + o))
+                dev_chunk = jax.device_put(c[o:o + take], devs[s])
+                codes_s, keys_s = coding.encode(dev_chunk, banks[s])
+                parts_codes[s].append(codes_s)
+                parts_keys[s].append(keys_s)
+                o += take
+            pos += len(c)
+        if pos != n_total:
+            raise ValueError(f"stream provided {pos} rows, "
+                             f"expected n_total={n_total}")
+
+        per_dev_codes, per_dev_keys = [], []
+        for s in range(nd):
+            have = sum(int(p.shape[0]) for p in parts_codes[s])
+            cps, kps = parts_codes[s], parts_keys[s]
+            if have < rows:
+                # zero-pad the tail shard; pad rows are tombstoned at query
+                # time by the local_valid mask (rows >= n)
+                cps = cps + [jax.device_put(
+                    np.zeros((rows - have, g, w), np.uint32), devs[s])]
+                kps = kps + [jax.device_put(
+                    np.zeros((rows - have, g), np.int64), devs[s])]
+            per_dev_codes.append(jnp.concatenate(cps) if len(cps) > 1
+                                 else cps[0])
+            per_dev_keys.append(jnp.concatenate(kps) if len(kps) > 1
+                                else kps[0])
+            parts_codes[s] = parts_keys[s] = None   # free chunk parts
+
+        shard = NamedSharding(self.mesh, P(self.axis))
+        codes_global = jax.make_array_from_single_device_arrays(
+            (rows * nd, g, w), shard, per_dev_codes)
+        keys_global = jax.make_array_from_single_device_arrays(
+            (rows * nd, g), shard, per_dev_keys)
+        block = self.block_size
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(self.axis), P(self.axis)),
+                 out_specs=P(self.axis))
+        def build_local(keys_l, codes_l):
+            table = partition.build_partitions(
+                jnp.transpose(keys_l, (1, 0)),
+                jnp.transpose(codes_l, (1, 0, 2)), block)
+            return jax.tree.map(lambda x: x[None], table)
+
+        self.table = build_local(keys_global, codes_global)
+        jax.block_until_ready(self.table)
+        self.base = None
+        self.point_codes = codes_global if keep_codes else None
+
+        if keep_bits:
+            cb = bank.code_bits
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=P(self.axis),
+                     out_specs=(P(self.axis), P(self.axis)))
+            def unpack_local(codes):
+                bits = hamming_scan.unpack_bits_device(codes, cb)
+                return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
+
+            self.bits, self.popc = unpack_local(codes_global)
+            jax.block_until_ready(self.bits)
+        else:
+            self.bits = self.popc = None
+        return pos
+
     # -- query ------------------------------------------------------------------
 
     def query_step_fn(self, probes: int, refinement_limit: int, k: int,

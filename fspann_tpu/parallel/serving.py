@@ -60,10 +60,11 @@ class DistributedEncryptedSystem:
 
     # -- build -----------------------------------------------------------------
 
-    def build(self, base: np.ndarray, sample: int = 1000) -> None:
+    def build(self, base: np.ndarray, sample: int = 1000,
+              capacity: int | None = None) -> None:
         """Encrypt + persist the corpus into shard-aligned arenas and build
         the mesh routing tables.  The plaintext is NOT kept in device HBM
-        (keep_base=False)."""
+        (keep_base=False).  ``capacity`` reserves live-insert headroom."""
         base = np.asarray(base, np.float32)
         self.n = len(base)
         pp = self.cfg.paper
@@ -76,12 +77,32 @@ class DistributedEncryptedSystem:
         self.index.build(base, keep_base=False,
                          keep_codes=(rt.rerank_limit > 0
                                      and rt.routing_mode != "scan"),
-                         keep_bits=rt.routing_mode == "scan")
+                         keep_bits=rt.routing_mode == "scan",
+                         capacity=capacity)
         self.store.set_range_size(self.index.shard_rows)
         self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
 
+    def insert_live(self, vecs: np.ndarray) -> np.ndarray:
+        """Live insert at mesh scale (scan mode): the next global ordinals
+        are assigned (range placement requires contiguity), the bit rows
+        append on the owning shard devices, ciphertexts persist to the
+        shard-aligned arenas, and the rows are searchable immediately —
+        key rotation covers them like any other point.  Beyond the
+        reference (whose index freezes at finalizeForSearch)."""
+        if self.cfg.runtime.routing_mode != "scan":
+            raise RuntimeError("mesh live insert requires "
+                               "routing_mode='scan'")
+        if self.index is None:
+            raise RuntimeError("build() before insert_live")
+        vecs = np.asarray(vecs, np.float32)
+        ids = self.index.append_scan_rows(vecs)
+        self.store.insert_batch(ids, vecs)
+        self.n = self.index.n
+        return ids
+
     def index_stream(self, data, batch_size: int = 100_000,
-                     n_total: int | None = None, sample: int = 1000) -> int:
+                     n_total: int | None = None, sample: int = 1000,
+                     capacity: int | None = None) -> int:
         """Streaming build — the stretch-scale ingestion path (reference
         streaming loop, ForwardSecureANNSystem.java:438-479): consume the
         corpus batch-by-batch, encrypt+persist each batch into the
@@ -110,7 +131,7 @@ class DistributedEncryptedSystem:
         self.n = n_total
         pp = self.cfg.paper
         rt = self.cfg.runtime
-        rows = -(-n_total // self.ndev)
+        rows = -(-max(n_total, capacity or 0) // self.ndev)
         self.store.set_range_size(rows)
 
         # bank from the first `sample` buffered rows, then replay
@@ -144,7 +165,7 @@ class DistributedEncryptedSystem:
         total = self.index.build_stream(
             feed(), n_total,
             keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),
-            keep_bits=rt.routing_mode == "scan")
+            keep_bits=rt.routing_mode == "scan", capacity=capacity)
         self.store.flush()
         return total
 

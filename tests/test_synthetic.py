@@ -43,3 +43,42 @@ def test_cluster_sizes_heavy_tailed():
     assert sizes.min() >= 1
     # heavy tail: the largest cluster dwarfs the median
     assert sizes.max() > 10 * np.median(sizes)
+
+
+def test_glove_like_properties():
+    from fspann_tpu.io.synthetic import glove_like_corpus
+
+    base, queries = glove_like_corpus(5000, 100, 50, seed=7)
+    b2, q2 = glove_like_corpus(5000, 100, 50, seed=7)
+    np.testing.assert_array_equal(base, b2)       # deterministic
+    np.testing.assert_array_equal(queries, q2)
+    assert base.shape == (5000, 100) and queries.shape == (50, 100)
+    # heavy-tailed norms (lognormal): p95/p50 norm ratio well above 1
+    norms = np.linalg.norm(base, axis=1)
+    assert np.percentile(norms, 95) / np.percentile(norms, 50) > 1.8
+    # anisotropy: top principal direction carries far more variance than
+    # the median one
+    cov_diag = np.sort(np.linalg.eigvalsh(np.cov(base[:4000].T)))[::-1]
+    assert cov_diag[0] > 20 * cov_diag[50]
+    # queries are held-out draws, not corpus rows
+    assert not any((base == q).all(axis=1).any() for q in queries[:5])
+
+
+def test_redcaps_like_properties():
+    from fspann_tpu.io.synthetic import redcaps_like_corpus
+
+    base, queries = redcaps_like_corpus(5000, 512, 50, seed=7)
+    assert base.shape == (5000, 512) and queries.shape == (50, 512)
+    # unit norm (CLIP convention)
+    np.testing.assert_allclose(np.linalg.norm(base, axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(queries, axis=1), 1.0,
+                               atol=1e-4)
+    # distance concentration: pairwise cosines cluster in a tight band, so
+    # L2 distances concentrate around sqrt(2) — the LSH-hostile regime
+    rng = np.random.default_rng(0)
+    a = base[rng.integers(0, 5000, 500)]
+    b = base[rng.integers(0, 5000, 500)]
+    cos = np.einsum("ij,ij->i", a, b)
+    assert cos.std() < 0.1           # tight band = distance concentration
+    d = np.linalg.norm(a - b, axis=1)
+    assert d.std() / d.mean() < 0.05

@@ -41,6 +41,7 @@ class DistributedEncryptedSystem:
                  mesh=None, key_manager: KeyManager | None = None):
         self.cfg = cfg
         self.dim = dim
+        self.base_dir = base_dir
         self.mesh = mesh or make_mesh()
         self.ndev = self.mesh.devices.size
         os.makedirs(base_dir, exist_ok=True)
@@ -202,6 +203,33 @@ class DistributedEncryptedSystem:
         return _host_refine(queries, vecs.reshape(q, r, self.dim),
                             cand_ids.astype(np.int64), ok.reshape(q, r),
                             k, c2=norms.reshape(q, r))[:2]
+
+    # -- checkpoint / restore ------------------------------------------------------
+
+    def save_index(self) -> str:
+        """Persist the mesh routing state next to the shard arenas (the
+        ciphertext stores persist themselves); returns the checkpoint
+        path."""
+        if self.index is None:
+            raise RuntimeError("nothing to save")
+        path = os.path.join(self.base_dir, "mesh_state.npz")
+        self.index.save_state(path)
+        self.store.flush()
+        return path
+
+    def restore_index(self) -> int:
+        """Fast restore of the mesh routing state from disk — no decrypt
+        pass, no plaintext (the checkpoint holds only LSH codes).  Returns
+        the number of live rows."""
+        rt = self.cfg.runtime
+        path = os.path.join(self.base_dir, "mesh_state.npz")
+        self.index = ShardedIndex.restore_state(
+            path, self.mesh,
+            keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),
+            keep_bits=rt.routing_mode == "scan")
+        self.store.set_range_size(self.index.shard_rows)
+        self.n = self.index.n
+        return self.n
 
     # -- forward security --------------------------------------------------------
 

@@ -233,6 +233,100 @@ class ShardedIndex:
             self.bits = self.popc = None
         return pos
 
+    # -- checkpoint / restore ----------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Persist the mesh routing state: per-point packed codes + bank
+        stats + geometry.  The mesh analogue of the single-chip table
+        checkpoint (index/service.save_table): codes are the generator of
+        every routing structure (tables/bits rebuild deterministically), so
+        the checkpoint is N·G·W words instead of all derived state."""
+        import os
+
+        codes = self.point_codes
+        if codes is None and self.bits is None:
+            raise RuntimeError("nothing to save: build with keep_codes or "
+                               "keep_bits first")
+        if codes is not None:
+            codes_np = np.asarray(codes)
+        else:
+            # scan-only build: re-pack from bits is lossy-free but wide;
+            # instead re-encode is wrong (needs base) — so repack bits
+            bits = np.asarray(self.bits)                    # [N_pad, B]
+            g, cb = self.bank.g, self.bank.code_bits
+            w = self.bank.code_words
+            by = np.packbits(
+                np.pad(bits.reshape(len(bits), g, cb),
+                       ((0, 0), (0, 0), (0, w * 32 - cb))), axis=-1)
+            codes_np = by.view(">u4").astype(np.uint32).reshape(
+                len(bits), g, w)
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(tmp, codes=codes_np, n=self.n, shard_rows=self.shard_rows,
+                 ndev=self.n_devices, block=self.block_size,
+                 omega=np.asarray(self.bank.omega), r=np.asarray(self.bank.r),
+                 m=self.bank.m, lam=self.bank.lam, tables=self.bank.tables,
+                 divisions=self.bank.divisions, seed=self.bank.seed,
+                 dim=self.bank.d)
+        os.replace(tmp + ".npz", path)
+
+    @classmethod
+    def restore_state(cls, path: str, mesh: Mesh,
+                      keep_codes: bool = False, keep_bits: bool = True
+                      ) -> "ShardedIndex":
+        """Rebuild a ShardedIndex from :meth:`save_state` — per-shard code
+        slices ship straight to their devices (no re-encode, no plaintext)
+        and tables/bits rebuild under shard_map.  Fails if the mesh size
+        disagrees with the checkpoint's shard geometry."""
+        z = np.load(path)
+        nd = int(z["ndev"])
+        if mesh.devices.size != nd:
+            raise ValueError(f"checkpoint is for {nd} devices, mesh has "
+                             f"{mesh.devices.size}")
+        bank = coding.bank_from_stats(
+            z["omega"], z["r"], int(z["dim"]), int(z["m"]), int(z["lam"]),
+            int(z["tables"]), int(z["divisions"]), int(z["seed"]))
+        idx = cls(mesh, bank, block_size=int(z["block"]))
+        idx.n = int(z["n"])
+        rows = int(z["shard_rows"])
+        idx.shard_rows = rows
+        codes_np = z["codes"].astype(np.uint32)
+        devs = list(mesh.devices.reshape(-1))
+        per_dev = [jax.device_put(codes_np[s * rows:(s + 1) * rows], devs[s])
+                   for s in range(nd)]
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        g, w = bank.g, bank.code_words
+        codes_global = jax.make_array_from_single_device_arrays(
+            (rows * nd, g, w), shard, per_dev)
+
+        axis = idx.axis
+        block = idx.block_size
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=P(axis), out_specs=P(axis))
+        def build_local(codes_l):
+            keys_l = coding.keys_from_codes(codes_l)
+            table = partition.build_partitions(
+                jnp.transpose(keys_l, (1, 0)),
+                jnp.transpose(codes_l, (1, 0, 2)), block)
+            return jax.tree.map(lambda x: x[None], table)
+
+        idx.table = build_local(codes_global)
+        jax.block_until_ready(idx.table)
+        idx.point_codes = codes_global if keep_codes else None
+        if keep_bits:
+            cb = bank.code_bits
+
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=P(axis), out_specs=(P(axis), P(axis)))
+            def unpack_local(codes):
+                bits = hamming_scan.unpack_bits_device(codes, cb)
+                return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
+
+            idx.bits, idx.popc = unpack_local(codes_global)
+            jax.block_until_ready(idx.bits)
+        return idx
+
     # -- live insert (scan mode) -------------------------------------------------
 
     def _per_device(self, arr) -> list:

@@ -443,3 +443,70 @@ def test_distributed_insert_live_searchable_and_rotatable(tmp_path, rng):
         np.testing.assert_array_equal(got, got2)
     finally:
         sys_.close()
+
+
+def test_mesh_checkpoint_restore_roundtrip(tmp_path, rng):
+    """save_state/restore_state must reproduce scan + probe routing
+    exactly — the mesh analogue of the single-chip fast restore."""
+    n, d = 1600, 16
+    base = rng.normal(size=(n, d)).astype(np.float32) * 3
+    bank = coding.build_bank_from_sample(base[:512], 8, 2, 2, 2, 13)
+    mesh = make_mesh()
+    one = ShardedIndex(mesh, bank, block_size=16)
+    one.build(base, keep_base=False, keep_bits=True, keep_codes=True)
+    path = str(tmp_path / "mesh_state.npz")
+    one.save_state(path)
+
+    back = ShardedIndex.restore_state(path, mesh, keep_codes=True,
+                                      keep_bits=True)
+    assert back.n == n and back.shard_rows == one.shard_rows
+    queries = rng.normal(size=(5, d)).astype(np.float32) * 3
+    a_ids, a_sc = one.scan_route(queries, limit=64, approx=False)
+    b_ids, b_sc = back.scan_route(queries, limit=64, approx=False)
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_array_equal(a_sc, b_sc)
+    r_a = one.route(queries, probes=3, refinement_limit=128)
+    r_b = back.route(queries, probes=3, refinement_limit=128)
+    np.testing.assert_array_equal(r_a[0], r_b[0])
+
+
+def test_mesh_checkpoint_from_bits_only(tmp_path, rng):
+    """A scan-only build (no kept codes) must still checkpoint: codes are
+    re-packed from the bit matrix losslessly."""
+    n, d = 800, 16
+    base = rng.normal(size=(n, d)).astype(np.float32) * 3
+    bank = coding.build_bank_from_sample(base[:512], 8, 2, 2, 2, 13)
+    mesh = make_mesh()
+    one = ShardedIndex(mesh, bank, block_size=16)
+    one.build(base, keep_base=False, keep_bits=True)   # no codes kept
+    path = str(tmp_path / "mesh_bits.npz")
+    one.save_state(path)
+    back = ShardedIndex.restore_state(path, mesh)
+    queries = rng.normal(size=(4, d)).astype(np.float32) * 3
+    a_ids, _ = one.scan_route(queries, limit=32, approx=False)
+    b_ids, _ = back.scan_route(queries, limit=32, approx=False)
+    np.testing.assert_array_equal(a_ids, b_ids)
+
+
+def test_distributed_facade_checkpoint_restore(tmp_path, rng):
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 1200, 16, 5
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    queries = base[rng.integers(0, n, 4)] + \
+        rng.normal(size=(4, d)).astype(np.float32) * 0.1
+    cfg = _scan_cfg(d)
+    s1 = DistributedEncryptedSystem(cfg, str(tmp_path / "ck"), d)
+    try:
+        s1.build(base)
+        ids_a, _ = s1.search_batch(queries, k)
+        s1.save_index()
+    finally:
+        s1.close()
+    s2 = DistributedEncryptedSystem(cfg, str(tmp_path / "ck"), d)
+    try:
+        assert s2.restore_index() == n
+        ids_b, _ = s2.search_batch(queries, k)
+        np.testing.assert_array_equal(ids_a, ids_b)
+    finally:
+        s2.close()

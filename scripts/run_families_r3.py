@@ -70,9 +70,13 @@ def gen_corpus(fam, d):
 
 
 def run_profile(fam, base, queries, gtm, cfg_path, profile):
+    import jax
+
     from fspann_tpu.api.system import ForwardSecureANNSystem
     from fspann_tpu.config import load_config
 
+    platform = jax.default_backend()
+    label = "cpu-1core" if platform == "cpu" else platform
     d = base.shape[1]
     cfg = load_config(cfg_path, profile)
     cfg = dataclasses.replace(
@@ -97,7 +101,7 @@ def run_profile(fam, base, queries, gtm, cfg_path, profile):
               "art_ms": round(agg.mean_art_ms, 1),
               "qps": round(NQ / wall, 1),
               "cand_mean": int(np.mean(cols["cand_refined"][sel])),
-              "build_s": round(build_s, 0), "platform": "cpu-1core"})
+              "build_s": round(build_s, 0), "platform": label})
         sys_.shutdown()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -105,6 +109,14 @@ def run_profile(fam, base, queries, gtm, cfg_path, profile):
 
 def main():
     fams = sys.argv[1:] or list(FAMILIES)
+    import jax
+
+    if jax.default_backend() != "cpu":
+        # persistent compile cache for remote TPU compiles (CLAUDE.md)
+        cache = os.path.join(ROOT, ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from fspann_tpu.io import groundtruth
 
     for fam in fams:

@@ -129,7 +129,10 @@ def main():
         gtm = groundtruth.precompute(base, queries, k=100)
         print(f"gt {time.time()-t0:.0f}s", flush=True)
         cfg_path = os.path.join(ROOT, "configs", spec["cfg"])
-        for profile in spec["profiles"]:
+        only = os.environ.get("FAM_PROFILES")
+        profiles = [p for p in spec["profiles"]
+                    if not only or p in only.split(",")]
+        for profile in profiles:
             try:
                 run_profile(fam, base, queries, gtm, cfg_path, profile)
             except Exception:

@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize imports jax (axon TPU plugin) before any user code, so
+    # the env var alone is too late (CLAUDE.md) — force the platform here,
+    # before any computation runs
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     fam = sys.argv[1]

@@ -204,6 +204,18 @@ class DistributedEncryptedSystem:
                             cand_ids.astype(np.int64), ok.reshape(q, r),
                             k, c2=norms.reshape(q, r))[:2]
 
+    # -- deletion ------------------------------------------------------------------
+
+    def delete(self, ids) -> None:
+        """Logical deletion at mesh scale: tombstone the shard arenas AND
+        the device-side mask (a runtime input to every query step — no
+        rebuild, no recompile).  Mirrors the single-chip
+        ``ForwardSecureANNSystem.delete``."""
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        self.store.delete(ids)
+        if self.index is not None:
+            self.index.mark_deleted(ids)
+
     # -- checkpoint / restore ------------------------------------------------------
 
     def save_index(self) -> str:
@@ -229,6 +241,14 @@ class DistributedEncryptedSystem:
             keep_bits=rt.routing_mode == "scan")
         self.store.set_range_size(self.index.shard_rows)
         self.n = self.index.n
+        # deletions live in the shard stores' metadata (the mesh checkpoint
+        # holds only codes) — re-derive the device-side mask
+        dead = [np.asarray(sh.meta.tombstoned_ids(), np.int64)
+                for sh in self.store.shards]
+        dead = np.concatenate([d for d in dead if len(d)]) \
+            if any(len(d) for d in dead) else np.empty(0, np.int64)
+        if len(dead):
+            self.index.mark_deleted(dead)
         return self.n
 
     # -- forward security --------------------------------------------------------

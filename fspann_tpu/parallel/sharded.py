@@ -53,9 +53,43 @@ class ShardedIndex:
         self.point_codes: jax.Array | None = None   # [N_pad, G, W] sharded
         self.bits: jax.Array | None = None          # [N_pad, B] int8 sharded
         self.popc: jax.Array | None = None          # [N_pad] int32 sharded
+        self.tombs: jax.Array | None = None         # bool [N_pad] sharded
         self.shard_rows = 0
         self.n = 0
         self._steps: dict = {}   # jitted step cache per (probes, limit, k)
+
+    def _init_tombs(self) -> None:
+        """Fresh all-false sharded tombstone mask (one bool per padded
+        row).  Deletions are a runtime input to every query step, so a
+        delete never recompiles or rebuilds anything."""
+        nd, rows = self.n_devices, self.shard_rows
+        shard = NamedSharding(self.mesh, P(self.axis))
+        self.tombs = jax.device_put(np.zeros(rows * nd, bool), shard)
+
+    def mark_deleted(self, ids) -> None:
+        """Tombstone global row ids across the mesh — the sharded analogue
+        of the single-chip ``PartitionedIndex.mark_deleted``: each shard's
+        slice is updated ON its own device (committed ``.at[].set``), then
+        the global mask is reassembled.  O(deletions), no rebuild."""
+        if self.tombs is None:
+            raise RuntimeError("build before mark_deleted")
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        if not len(ids):
+            return
+        if (ids < 0).any() or (ids >= self.n).any():
+            raise ValueError("delete ids out of range")
+        rows = self.shard_rows
+        devs = list(self.mesh.devices.reshape(-1))
+        parts = self._per_device(self.tombs)
+        shard_of = ids // rows
+        for s in np.unique(shard_of):
+            s = int(s)
+            local = jax.device_put(
+                (ids[shard_of == s] - s * rows).astype(np.int32), devs[s])
+            parts[s] = parts[s].at[local].set(True)
+        shard = NamedSharding(self.mesh, P(self.axis))
+        self.tombs = jax.make_array_from_single_device_arrays(
+            (rows * self.n_devices,), shard, parts)
 
     # -- build ------------------------------------------------------------------
 
@@ -111,6 +145,7 @@ class ShardedIndex:
 
         self.table, codes_dev = build_local(base_dev)  # [ndev, G, P, ...]
         jax.block_until_ready(self.table)
+        self._init_tombs()
         self.point_codes = codes_dev if keep_codes else None
         self.base = base_dev if keep_base else None
 
@@ -214,6 +249,7 @@ class ShardedIndex:
 
         self.table = build_local(keys_global, codes_global)
         jax.block_until_ready(self.table)
+        self._init_tombs()
         self.base = None
         self.point_codes = codes_global if keep_codes else None
 
@@ -313,6 +349,7 @@ class ShardedIndex:
 
         idx.table = build_local(codes_global)
         jax.block_until_ready(idx.table)
+        idx._init_tombs()
         idx.point_codes = codes_global if keep_codes else None
         if keep_bits:
             cb = bank.code_bits
@@ -409,15 +446,15 @@ class ShardedIndex:
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(jax.tree.map(lambda _: P(axis), self.table),
-                           P(axis), P(None)),
+                           P(axis), P(axis), P(None)),
                  out_specs=(P(None), P(None)),
                  check_vma=False)
-        def step(table_stacked, base_local, queries):
+        def step(table_stacked, base_local, tombs_local, queries):
             table = jax.tree.map(lambda x: x[0], table_stacked)
             qcodes, qkeys = coding.encode(queries, bank)
             local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
             local_valid &= jax.lax.axis_index(axis) < shard_cap
-            tomb = ~local_valid
+            tomb = ~local_valid | tombs_local
             routed = routing.route(table, qcodes, qkeys, tomb, probes,
                                    refinement_limit)
             cand = routed.ids                                    # local rows
@@ -475,20 +512,21 @@ class ShardedIndex:
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(jax.tree.map(lambda _: P(axis), self.table),
-                           P(None)) + codes_spec,
+                           P(axis), P(None)) + codes_spec,
                  out_specs=(P(None), P(None)),
                  check_vma=False)
-        def step(table_stacked, queries, *maybe_codes):
+        def step(table_stacked, tombs_local, queries, *maybe_codes):
             table = jax.tree.map(lambda x: x[0], table_stacked)
             qcodes, qkeys = coding.encode(queries, bank)
             local_valid = jnp.arange(rows) + jax.lax.axis_index(axis) * rows < n
             local_valid &= jax.lax.axis_index(axis) < shard_cap
+            dead_rows = ~local_valid | tombs_local
             if use_rerank:
                 routed = routing.route_rerank(table, qcodes, qkeys,
-                                              ~local_valid, maybe_codes[0],
+                                              dead_rows, maybe_codes[0],
                                               probes, rerank_limit)
             else:
-                routed = routing.route(table, qcodes, qkeys, ~local_valid,
+                routed = routing.route(table, qcodes, qkeys, dead_rows,
                                        probes, limit)
             live = routed.ids >= 0
             gids = jnp.where(live,
@@ -523,10 +561,10 @@ class ShardedIndex:
         # n_live is a TRACED scalar (not a closure constant) so live
         # inserts extend the served row count without recompiling the step
         @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=(P(axis), P(axis), P(None), P()),
+                 in_specs=(P(axis), P(axis), P(axis), P(None), P()),
                  out_specs=(P(None), P(None)),
                  check_vma=False)
-        def step(bits_local, popc_local, queries, n_live):
+        def step(bits_local, popc_local, tombs_local, queries, n_live):
             qcodes, _ = coding.encode(queries, bank)
             qbits = hamming_scan.unpack_bits_device(qcodes, cb)
             dots = jax.lax.dot_general(
@@ -538,6 +576,7 @@ class ShardedIndex:
             local_valid = (jnp.arange(rows)
                            + jax.lax.axis_index(axis) * rows < n_live)
             local_valid &= jax.lax.axis_index(axis) < shard_cap
+            local_valid &= ~tombs_local
             part = jnp.where(local_valid[None, :], part, dead)
             k = min(limit, rows)
             if approx:
@@ -573,7 +612,7 @@ class ShardedIndex:
             step = jax.jit(self.scan_route_step_fn(limit, probe_shards,
                                                    approx))
             self._steps[key] = step
-        ids, sc = step(self.bits, self.popc,
+        ids, sc = step(self.bits, self.popc, self.tombs,
                        jnp.asarray(queries, jnp.float32),
                        jnp.int32(self.n))
         return np.asarray(ids), np.asarray(sc)
@@ -590,7 +629,8 @@ class ShardedIndex:
             step = jax.jit(self.route_step_fn(probes, refinement_limit,
                                               probe_shards, rerank_limit))
             self._steps[key] = step
-        args = (self.table, jnp.asarray(queries, jnp.float32))
+        args = (self.table, self.tombs,
+                jnp.asarray(queries, jnp.float32))
         if rerank_limit > 0:
             args += (self.point_codes,)
         ids, sc = step(*args)
@@ -610,6 +650,6 @@ class ShardedIndex:
             step = jax.jit(self.query_step_fn(probes, refinement_limit, k,
                                               probe_shards))
             self._steps[key] = step
-        ids, dist = step(self.table, self.base,
+        ids, dist = step(self.table, self.base, self.tombs,
                          jnp.asarray(queries, jnp.float32))
         return np.asarray(ids), np.asarray(dist)

@@ -510,3 +510,65 @@ def test_distributed_facade_checkpoint_restore(tmp_path, rng):
         np.testing.assert_array_equal(ids_a, ids_b)
     finally:
         s2.close()
+
+
+def test_mesh_deletion_excluded_and_restored(tmp_path, rng):
+    """Mesh deletion: tombstoned rows vanish from scan results without any
+    rebuild, survive checkpoint restore (re-derived from the shard
+    stores), and deletion composes with live insert."""
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 1200, 16, 5
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    q = base[7:8] + rng.normal(size=(1, d)).astype(np.float32) * 0.01
+    cfg = _scan_cfg(d)
+    sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / "del"), d)
+    try:
+        sys_.build(base, capacity=1600)
+        ids0, _ = sys_.search_batch(q, k)
+        assert 7 in ids0[0].tolist()
+        sys_.delete(np.array([7]))
+        ids1, _ = sys_.search_batch(q, k)
+        assert 7 not in ids1[0].tolist(), "deleted row still returned"
+        # deletion survives checkpoint + restore
+        sys_.save_index()
+    finally:
+        sys_.close()
+    back = DistributedEncryptedSystem(cfg, str(tmp_path / "del"), d)
+    try:
+        back.restore_index()
+        ids2, _ = back.search_batch(q, k)
+        assert 7 not in ids2[0].tolist(), "deletion lost across restore"
+        # live insert after deletion: both effects visible
+        new = (np.full((10, d), 25.0)
+               + rng.normal(size=(10, d))).astype(np.float32)
+        nids = back.insert_live(new)
+        got, _ = back.search_batch(np.full((1, d), 25.0, np.float32), k)
+        assert set(got[0].tolist()) <= set(nids.tolist())
+        ids3, _ = back.search_batch(q, k)
+        assert 7 not in ids3[0].tolist()
+    finally:
+        back.close()
+
+
+def test_sharded_index_mark_deleted_all_paths(rng):
+    """mark_deleted must mask rows in scan, probe route, AND the plaintext
+    query path (all three step fns take the mask as a runtime input)."""
+    n, d = 1024, 16
+    base = rng.normal(size=(n, d)).astype(np.float32) * 3
+    bank = coding.build_bank_from_sample(base[:512], 8, 2, 2, 2, 13)
+    mesh = make_mesh()
+    idx = ShardedIndex(mesh, bank, block_size=16)
+    idx.build(base, keep_base=True, keep_bits=True, keep_codes=True)
+    dead = np.arange(0, n, 7)
+    idx.mark_deleted(dead)
+    queries = base[dead[:4]].copy()   # query exactly at deleted points
+    s_ids, _ = idx.scan_route(queries, limit=32, approx=False)
+    assert not np.isin(s_ids, dead).any()
+    r_ids, _ = idx.route(queries, probes=3, refinement_limit=64)
+    assert not np.isin(r_ids[r_ids >= 0], dead).any()
+    rr_ids, _ = idx.route(queries, probes=3, refinement_limit=64,
+                          rerank_limit=32)
+    assert not np.isin(rr_ids[rr_ids >= 0], dead).any()
+    q_ids, _ = idx.query(queries, probes=3, refinement_limit=64, k=5)
+    assert not np.isin(q_ids[q_ids >= 0], dead).any()

@@ -51,6 +51,21 @@ class DistributedEncryptedSystem:
         self.store = ShardedPointStore(base_dir, self.km, dim,
                                        num_shards=self.ndev,
                                        placement="range")
+        # full rotation lifecycle over the sharded store — same service +
+        # background daemon as the single-chip facade (the sharded store's
+        # meta view satisfies the same surface)
+        from ..crypto.rotation import (BackgroundReencryption,
+                                       KeyRotationService, RotationPolicy)
+        self.rotation = KeyRotationService(
+            self.km, self.store,
+            RotationPolicy(cfg.keys.ops_threshold,
+                           cfg.keys.age_threshold_ms))
+        self.background = None
+        if cfg.reencryption.background_enabled:
+            self.background = BackgroundReencryption(
+                self.rotation, cfg.reencryption.background_interval_s,
+                cfg.reencryption.background_batch)
+            self.background.start()
         self.index: ShardedIndex | None = None
         self.n = 0
         # reusable decrypt staging (grown on demand) — same fusion as the
@@ -254,16 +269,21 @@ class DistributedEncryptedSystem:
     # -- forward security --------------------------------------------------------
 
     def rotate_and_migrate(self, ids=None):
-        """Rotate the shared key and migrate the given ids (default: every
-        live point) to the new version — rotation never touches the mesh
-        routing state."""
-        self.km.rotate()
+        """Rotate the shared key (through the rotation service — pin/freeze
+        honored) and migrate the given ids (default: every live point) to
+        the new version — rotation never touches the mesh routing state."""
+        self.rotation.force_rotate_now()
         if ids is None:
             ids = np.arange(self.n, dtype=np.int64)
         return self.store.reencrypt_ids(ids)
+
+    def migration_remaining(self, version: int) -> int:
+        return self.rotation.migration_remaining(version)
 
     def size_bytes(self) -> int:
         return self.store.size_bytes()
 
     def close(self) -> None:
+        if self.background:
+            self.background.stop()
         self.store.close()

@@ -30,6 +30,40 @@ def _shard_workers(num_shards: int) -> int:
     return max(1, min(num_shards, os.cpu_count() or 1))
 
 
+class _ShardedMetaView:
+    """Read-side union of the per-shard metadata managers — just enough of
+    the ``MetadataLog`` surface for the rotation service and background
+    migration daemon to run unmodified over a sharded store."""
+
+    def __init__(self, store: "ShardedPointStore"):
+        self._store = store
+
+    def count_with_version(self, kv: int) -> int:
+        return sum(s.meta.count_with_version(kv)
+                   for s in self._store.shards)
+
+    def stale_ids(self, current_version: int) -> np.ndarray:
+        parts = [s.meta.stale_ids(current_version)
+                 for s in self._store.shards]
+        parts = [p for p in parts if len(p)]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def live_versions(self) -> set[int]:
+        out: set[int] = set()
+        for s in self._store.shards:
+            out |= s.meta.live_versions()
+        return out
+
+    def tombstoned_ids(self) -> np.ndarray:
+        parts = [np.asarray(s.meta.tombstoned_ids(), np.int64)
+                 for s in self._store.shards]
+        parts = [p for p in parts if len(p)]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def __len__(self) -> int:
+        return sum(len(s.meta) for s in self._store.shards)
+
+
 class ShardedPointStore:
     def __init__(self, base_dir: str, km: KeyManager, dim: int,
                  num_shards: int = 4,
@@ -47,6 +81,7 @@ class ShardedPointStore:
             PointStore(os.path.join(base_dir, f"shard{s:03d}"), km, dim)
             for s in range(num_shards)
         ]
+        self.meta = _ShardedMetaView(self)
 
     def set_range_size(self, rows_per_shard: int) -> None:
         self.range_size = rows_per_shard
@@ -149,6 +184,20 @@ class ShardedPointStore:
 
     def count_with_version(self, kv: int) -> int:
         return sum(s.meta.count_with_version(kv) for s in self.shards)
+
+    def reencrypt_all(self, target_version=None) -> ReencryptReport:
+        reports = [s.reencrypt_all(target_version) for s in self.shards]
+        return ReencryptReport(
+            touched=sum(r.touched for r in reports),
+            reencrypted=sum(r.reencrypted for r in reports),
+            skipped_current=sum(r.skipped_current for r in reports),
+            failed=sum(r.failed for r in reports),
+            time_ms=sum(r.time_ms for r in reports),
+            bytes_delta=sum(r.bytes_delta for r in reports),
+            bytes_after=self.size_bytes())
+
+    def retire_version(self, kv: int) -> bool:
+        return all(s.retire_version(kv) for s in self.shards)
 
     def size_bytes(self) -> int:
         return sum(s.size_bytes() for s in self.shards)

@@ -572,3 +572,37 @@ def test_sharded_index_mark_deleted_all_paths(rng):
     assert not np.isin(rr_ids[rr_ids >= 0], dead).any()
     q_ids, _ = idx.query(queries, probes=3, refinement_limit=64, k=5)
     assert not np.isin(q_ids[q_ids >= 0], dead).any()
+
+
+def test_mesh_background_migration_daemon(tmp_path, rng):
+    """The background re-encryption daemon runs unmodified over the
+    sharded store: after a key-only rotation, run_once migrates stale
+    ciphertexts shard-transparently and serving results are unchanged."""
+    import dataclasses
+
+    from fspann_tpu.crypto.rotation import BackgroundReencryption
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 800, 16, 5
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    queries = base[rng.integers(0, n, 4)] + \
+        rng.normal(size=(4, d)).astype(np.float32) * 0.05
+    sys_ = DistributedEncryptedSystem(_scan_cfg(d), str(tmp_path / "bg"), d)
+    try:
+        sys_.build(base)
+        ids0, _ = sys_.search_batch(queries, k)
+        v0 = sys_.km.current_version
+        sys_.rotation.rotate_key_only()        # all ciphertexts now stale
+        assert sys_.migration_remaining(v0) == n
+        daemon = BackgroundReencryption(sys_.rotation, interval_s=60,
+                                        batch=300)
+        total = 0
+        while sys_.migration_remaining(v0) > 0:
+            moved = daemon.run_once()
+            assert moved > 0
+            total += moved
+        assert total == n
+        ids1, _ = sys_.search_batch(queries, k)
+        np.testing.assert_array_equal(ids0, ids1)   # rotation orthogonal
+    finally:
+        sys_.close()

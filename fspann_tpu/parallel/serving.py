@@ -231,6 +231,15 @@ class DistributedEncryptedSystem:
         if self.index is not None:
             self.index.mark_deleted(ids)
 
+    def undelete(self, ids) -> list[int]:
+        """Reverse logical deletions (until the shard arenas compact or
+        retire) — only ids whose ciphertext and key still exist come back;
+        the device mask clears for exactly those."""
+        restored = self.store.undelete(ids)
+        if restored and self.index is not None:
+            self.index.mark_undeleted(np.asarray(restored, np.int64))
+        return restored
+
     # -- checkpoint / restore ------------------------------------------------------
 
     def save_index(self) -> str:

@@ -91,6 +91,27 @@ class ShardedIndex:
         self.tombs = jax.make_array_from_single_device_arrays(
             (rows * self.n_devices,), shard, parts)
 
+    def mark_undeleted(self, ids) -> None:
+        """Clear tombstones (the mesh analogue of the single-chip
+        undelete window — valid until the shard arenas compact/retire)."""
+        if self.tombs is None:
+            raise RuntimeError("build before mark_undeleted")
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        if not len(ids):
+            return
+        rows = self.shard_rows
+        devs = list(self.mesh.devices.reshape(-1))
+        parts = self._per_device(self.tombs)
+        shard_of = ids // rows
+        for s in np.unique(shard_of):
+            s = int(s)
+            local = jax.device_put(
+                (ids[shard_of == s] - s * rows).astype(np.int32), devs[s])
+            parts[s] = parts[s].at[local].set(False)
+        shard = NamedSharding(self.mesh, P(self.axis))
+        self.tombs = jax.make_array_from_single_device_arrays(
+            (rows * self.n_devices,), shard, parts)
+
     # -- build ------------------------------------------------------------------
 
     def build(self, base: np.ndarray, keep_base: bool = True,

@@ -162,6 +162,16 @@ class ShardedPointStore:
             if len(sel):
                 self.shards[s].delete(ids[sel])
 
+    def undelete(self, ids) -> list[int]:
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        shard = self.shard_of(ids)
+        restored: list[int] = []
+        for s in range(self.num_shards):
+            sel = np.flatnonzero(shard == s)
+            if len(sel):
+                restored.extend(self.shards[s].undelete(ids[sel]))
+        return restored
+
     def reencrypt_ids(self, ids, target_version=None) -> ReencryptReport:
         ids = np.atleast_1d(np.asarray(ids, np.int64))
         shard = self.shard_of(ids)

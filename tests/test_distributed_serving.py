@@ -606,3 +606,23 @@ def test_mesh_background_migration_daemon(tmp_path, rng):
         np.testing.assert_array_equal(ids0, ids1)   # rotation orthogonal
     finally:
         sys_.close()
+
+
+def test_mesh_undelete_roundtrip(tmp_path, rng):
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 800, 16, 5
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    q = base[11:12] + rng.normal(size=(1, d)).astype(np.float32) * 0.01
+    sys_ = DistributedEncryptedSystem(_scan_cfg(d), str(tmp_path / "ud"), d)
+    try:
+        sys_.build(base)
+        sys_.delete(np.array([11]))
+        ids1, _ = sys_.search_batch(q, k)
+        assert 11 not in ids1[0].tolist()
+        restored = sys_.undelete(np.array([11]))
+        assert restored == [11]
+        ids2, _ = sys_.search_batch(q, k)
+        assert 11 in ids2[0].tolist()
+    finally:
+        sys_.close()

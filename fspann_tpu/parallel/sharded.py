@@ -443,6 +443,10 @@ class ShardedIndex:
             (rows * nd, bdim), shard, bits_parts)
         self.popc = jax.make_array_from_single_device_arrays(
             (rows * nd,), shard, popc_parts)
+        # kept packed codes (rerank path) don't cover the appended rows —
+        # drop them so save_state repacks from the (current) bit matrix
+        # instead of checkpointing a stale code array
+        self.point_codes = None
         ids = np.arange(self.n, self.n + b, dtype=np.int64)
         self.n += b
         return ids

@@ -626,3 +626,26 @@ def test_mesh_undelete_roundtrip(tmp_path, rng):
         assert 11 in ids2[0].tolist()
     finally:
         sys_.close()
+
+
+def test_mesh_checkpoint_after_live_insert(tmp_path, rng):
+    """save_state after append_scan_rows must checkpoint the APPENDED rows
+    (stale kept codes are dropped; codes repack from the live bit
+    matrix)."""
+    n, d = 800, 16
+    base = rng.normal(size=(n + 100, d)).astype(np.float32) * 3
+    bank = coding.build_bank_from_sample(base[:512], 8, 2, 2, 2, 13)
+    mesh = make_mesh()
+    idx = ShardedIndex(mesh, bank, block_size=16)
+    idx.build(base[:n], keep_base=False, keep_bits=True, keep_codes=True,
+              capacity=1024)
+    idx.append_scan_rows(base[n:])
+    path = str(tmp_path / "live_ck.npz")
+    idx.save_state(path)
+    back = ShardedIndex.restore_state(path, mesh)
+    assert back.n == n + 100
+    queries = base[n + 3:n + 7]        # query at appended points
+    a_ids, _ = idx.scan_route(queries, limit=32, approx=False)
+    b_ids, _ = back.scan_route(queries, limit=32, approx=False)
+    np.testing.assert_array_equal(a_ids, b_ids)
+    assert (a_ids[:, 0] == np.arange(n + 3, n + 7)).all()

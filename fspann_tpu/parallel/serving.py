@@ -289,6 +289,16 @@ class DistributedEncryptedSystem:
     def migration_remaining(self, version: int) -> int:
         return self.rotation.migration_remaining(version)
 
+    def compact_storage(self) -> dict:
+        """Reclaim re-encryption garbage across every shard arena (the
+        mesh analogue of the single-chip ``compact_storage``).  Logical
+        deletions older than this point become permanent."""
+        freed = 0
+        for kv in sorted(self.store.meta.live_versions()):
+            freed += self.store.compact_version(kv)
+        return {"bytes_freed": freed,
+                "storage_bytes": self.store.size_bytes()}
+
     def size_bytes(self) -> int:
         return self.store.size_bytes()
 

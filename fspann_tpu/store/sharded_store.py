@@ -209,6 +209,11 @@ class ShardedPointStore:
     def retire_version(self, kv: int) -> bool:
         return all(s.retire_version(kv) for s in self.shards)
 
+    def compact_version(self, kv: int) -> int:
+        """Per-shard crash-consistent arena compaction; returns total
+        bytes freed."""
+        return sum(s.compact_version(kv) for s in self.shards)
+
     def size_bytes(self) -> int:
         return sum(s.size_bytes() for s in self.shards)
 

@@ -649,3 +649,27 @@ def test_mesh_checkpoint_after_live_insert(tmp_path, rng):
     b_ids, _ = back.scan_route(queries, limit=32, approx=False)
     np.testing.assert_array_equal(a_ids, b_ids)
     assert (a_ids[:, 0] == np.arange(n + 3, n + 7)).all()
+
+
+def test_mesh_compact_storage_reclaims(tmp_path, rng):
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 600, 16, 5
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    q = base[3:4]
+    sys_ = DistributedEncryptedSystem(_scan_cfg(d), str(tmp_path / "cp"), d)
+    try:
+        sys_.build(base)
+        before = sys_.size_bytes()
+        # migrate HALF the points: v1 arenas keep live records plus the
+        # superseded halves — compactable garbage in a live version
+        sys_.rotate_and_migrate(np.arange(0, n, 2))
+        bloated = sys_.size_bytes()
+        assert bloated > before
+        rep = sys_.compact_storage()
+        assert rep["bytes_freed"] > 0
+        assert rep["storage_bytes"] < bloated
+        ids, _ = sys_.search_batch(q, k)   # still serving correctly
+        assert 3 in ids[0].tolist()
+    finally:
+        sys_.close()

@@ -98,6 +98,17 @@ class RuntimeConfig:
     # exact for integer-valued corpora like SIFT, ~1e-3 relative elsewhere;
     # the decrypt+refine stages are DRAM-bandwidth bound, so this is ~2x).
     storage_dtype: str = "f32"
+    # Adaptive per-query decrypt budget (scan mode): when margin > 0 the
+    # scan also returns n_dec[q] = |{i : score_i <= score_anchor + margin}|
+    # clamped to [floor or anchor, L] and the host decrypts only that many
+    # ranked ids — easy queries cost a few hundred AES opens, fringe
+    # queries keep the full budget L.  Margin is in Hamming bits of the
+    # full code (B = G*m*lambda); calibrate ~sqrt(B)*3 (150 at 2,304-bit
+    # codes holds recall within noise of the full budget at ~3x fewer
+    # opens).  Leakage unchanged: the server already sees every score.
+    adaptive_decrypt_margin: int = 0   # 0 = off
+    adaptive_decrypt_anchor: int = 100
+    adaptive_decrypt_floor: int = 0    # 0 => anchor
     # Stage-C backend: "host" scores decrypted candidates with BLAS on the
     # host (no candidate upload — right when the TPU is behind a slow link
     # or the host is close to the arenas); "device" ships [Q,R,d] to the
@@ -212,6 +223,15 @@ class SystemConfig:
                                         rt.refinement_limit))
         if rt.routing_mode not in ("probe", "scan"):
             raise ValueError(f"unknown routing_mode {rt.routing_mode!r}")
+        if rt.adaptive_decrypt_margin < 0:
+            raise ValueError("adaptive_decrypt_margin must be >= 0")
+        if rt.adaptive_decrypt_margin > 0:
+            rt = dataclasses.replace(
+                rt,
+                adaptive_decrypt_anchor=_clamp(rt.adaptive_decrypt_anchor,
+                                               self.eval.max_k, 1 << 20),
+                adaptive_decrypt_floor=_clamp(rt.adaptive_decrypt_floor,
+                                              0, 1 << 20))
         return dataclasses.replace(self, runtime=rt)
 
 
@@ -258,6 +278,9 @@ _FIELD_ALIASES = {
     "rerankLimit": "rerank_limit",
     "routingMode": "routing_mode",
     "scanFlatBudgetMb": "scan_flat_budget_mb",
+    "adaptiveDecryptMargin": "adaptive_decrypt_margin",
+    "adaptiveDecryptAnchor": "adaptive_decrypt_anchor",
+    "adaptiveDecryptFloor": "adaptive_decrypt_floor",
     "probeFactor": "probe_factor",
     "maxFanout": "max_fanout",
 }

@@ -359,7 +359,10 @@ class PartitionedIndex:
                 if flat_bytes <= self._scan_flat_budget() \
                 else hamming_scan.scan_chunked
             res = scan_fn(self._scan_state, qbits, self._tombstones(),
-                          scan_l)
+                          scan_l,
+                          anchor=rt.adaptive_decrypt_anchor,
+                          margin=rt.adaptive_decrypt_margin,
+                          floor=rt.adaptive_decrypt_floor)
         elif self._table_stale:
             raise RuntimeError(
                 "partition table stale after live inserts — probe routing "
@@ -380,7 +383,9 @@ class PartitionedIndex:
             mapped = np.where(rid >= 0, self._row_ids[np.maximum(rid, 0)], -1)
             res = routing.RouteResult(mapped, np.asarray(res.scores),
                                       np.asarray(res.n_unique),
-                                      np.asarray(res.n_raw))
+                                      np.asarray(res.n_raw),
+                                      None if res.n_dec is None
+                                      else np.asarray(res.n_dec))
         return res
 
     def _scan_flat_budget(self) -> int:

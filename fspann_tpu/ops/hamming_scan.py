@@ -83,9 +83,34 @@ def build_scan_state(codes: np.ndarray, code_bits: int,
     return ScanState(jax.device_put(bits), jax.device_put(popc))
 
 
-@partial(jax.jit, static_argnames=("limit", "approx"))
+def _adaptive_count(scores: jax.Array, anchor: int, margin: int,
+                    floor: int, k: int) -> jax.Array:
+    """Per-query adaptive decrypt budget from the ranked score matrix.
+
+    ``scores`` is int32 [Q, L] ascending (best first), dead/pad = _INF.
+    Budget = how many candidates sit within ``margin`` Hamming bits of the
+    ``anchor``-th best score, clamped to [floor, L].  When fewer than
+    ``anchor`` candidates are live the threshold clamp counts every live
+    row.  Rationale: the exact-distance refine only changes the top-k
+    among candidates whose code distance is near-tied with the k-th; rows
+    beyond the margin are statistically never promoted into the top-k, so
+    decrypting them is wasted host AES (calibrated: margin 150 at 2,304-bit
+    codes holds recall@100 within noise of the full budget).
+    """
+    a = max(min(anchor, k), 1)
+    s_a = scores[:, a - 1]
+    # overflow guard: s_a == _INF (fewer than `a` live) must still count
+    # all live rows, not wrap around
+    thresh = jnp.minimum(s_a, _INF - margin - 1) + jnp.int32(margin)
+    n_dec = jnp.sum(scores <= thresh[:, None], axis=-1, dtype=jnp.int32)
+    return jnp.clip(n_dec, min(max(floor, a), k), k)
+
+
+@partial(jax.jit, static_argnames=("limit", "approx", "anchor", "margin",
+                                   "floor"))
 def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
-         limit: int, approx: bool = True) -> RouteResult:
+         limit: int, approx: bool = True, anchor: int = 0, margin: int = 0,
+         floor: int = 0) -> RouteResult:
     """Global fine-Hamming ranking: top-``limit`` ids per query.
 
     Args:
@@ -97,6 +122,9 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
         element kept with ~98% probability — the misses are fine-score
         boundary candidates, statistically irrelevant to end recall).
         ``False`` = exact ``lax.top_k``.
+      anchor/margin/floor: when ``margin`` > 0, also return a per-query
+        adaptive decrypt budget (:func:`_adaptive_count`) in
+        ``RouteResult.n_dec``.
     """
     n = state.bits.shape[0]
     # MXU int8 dot: [Q, B] x [N, B]^T -> int32 [Q, N]
@@ -121,13 +149,17 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
     ids = jnp.where(live, ids, -1)
     scores = jnp.where(live, scores, _INF)
     n_live = jnp.sum(live, axis=-1, dtype=jnp.int32)
-    return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n))
+    n_dec = _adaptive_count(scores, anchor, margin, floor, k) \
+        if margin > 0 else None
+    return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n), n_dec)
 
 
-@partial(jax.jit, static_argnames=("limit", "chunk", "approx"))
+@partial(jax.jit, static_argnames=("limit", "chunk", "approx", "anchor",
+                                   "margin", "floor"))
 def scan_chunked(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
                  limit: int, chunk: int = 1 << 19,
-                 approx: bool = True) -> RouteResult:
+                 approx: bool = True, anchor: int = 0, margin: int = 0,
+                 floor: int = 0) -> RouteResult:
     """:func:`scan` with the corpus processed in ``chunk``-row blocks and a
     running top-L merge — the [Q, N] rank intermediate becomes [Q, chunk],
     so memory stays flat as N grows (the full-width scan needs Q·N·8 bytes
@@ -139,7 +171,8 @@ def scan_chunked(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
     """
     n, b = state.bits.shape
     if n <= chunk:
-        return scan(state, qbits, tombstones, limit, approx)
+        return scan(state, qbits, tombstones, limit, approx,
+                    anchor, margin, floor)
     q = qbits.shape[0]
     k = min(limit, chunk, n)
     qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)
@@ -183,4 +216,6 @@ def scan_chunked(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
     scores = jnp.where(live, best_sc + qpopc[:, None], _INF)
     ids = jnp.where(live, best_id, -1)
     n_live = jnp.sum(live, axis=-1, dtype=jnp.int32)
-    return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n))
+    n_dec = _adaptive_count(scores, anchor, margin, floor, k) \
+        if margin > 0 else None
+    return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n), n_dec)

@@ -46,6 +46,13 @@ class RouteResult(NamedTuple):
     scores: jax.Array    # int32 [Q, R] min Hamming(query, repCode) per id
     n_unique: jax.Array  # int32 [Q] unique live candidates found
     n_raw: jax.Array     # int32 [Q] raw (pre-dedup) ids touched
+    # int32 [Q] per-query adaptive decrypt budget (scan mode only, None
+    # when disabled): how many of the ranked ids are score-competitive —
+    # within ``adaptive_decrypt_margin`` Hamming bits of the anchor-th
+    # best.  The host decrypts only ids[:n_dec[q]] per query, so easy
+    # queries cost a few hundred AES opens while fringe queries keep the
+    # full budget.  Computed on-device; ships with the existing counters.
+    n_dec: jax.Array | None = None
 
 
 def find_center(table: PartitionTable, qkeys: jax.Array) -> jax.Array:

@@ -253,9 +253,17 @@ class QueryService:
     def _need_retry(self, s: SearchStats, k: int) -> bool:
         """Reference needRetry:444-447: returned < K or decrypted < 10*K.
         The decrypt budget is the post-rerank truncation when the full-code
-        re-rank is enabled (else every query would retry forever)."""
-        return s.returned < k or s.cand_decrypted < min(
-            10 * k, self.cfg.runtime.effective_refinement())
+        re-rank is enabled (else every query would retry forever).  With the
+        adaptive per-query decrypt budget the small count is INTENTIONAL
+        (score-competitive set exhausted), so the decrypt floor drops to the
+        adaptive floor — retry still fires when tombstones ate the budget
+        (cand_decrypted below the floor) or the result underfilled."""
+        rt = self.cfg.runtime
+        budget = min(10 * k, rt.effective_refinement())
+        if rt.routing_mode == "scan" and rt.adaptive_decrypt_margin > 0:
+            budget = min(budget, max(rt.adaptive_decrypt_floor,
+                                     rt.adaptive_decrypt_anchor))
+        return s.returned < k or s.cand_decrypted < budget
 
     def _dispatch_route(self, tokens, probes, limit):
         """Stage A dispatch — returns (routed, ids_slice, pred) without
@@ -287,12 +295,21 @@ class QueryService:
         # mispredict (need > pred) fall back to the full matrix — correctness
         # never depends on the prediction (VERDICT r1: the default
         # refinement_limit shipped ~7x pad over a ~27MB/s link).
-        n_unique, n_raw = (np.asarray(x) for x in
-                           jax.device_get((routed.n_unique, routed.n_raw)))
+        n_unique, n_raw, n_dec = (
+            None if x is None else np.asarray(x) for x in
+            jax.device_get((routed.n_unique, routed.n_raw, routed.n_dec)))
         r_full = routed.ids.shape[1]
-        need = max(int(n_unique.max(initial=1)), k, 1)
+        # adaptive decrypt budget: only the first n_dec[q] ranked ids are
+        # score-competitive — slice/transfer to the batch max and mask the
+        # per-query tail so the AES loop never touches it
+        width = n_unique if n_dec is None else n_dec
+        need = max(int(width.max(initial=1)), k, 1)
         cand_ids = np.asarray(ids_slice if need <= pred else routed.ids)
         self._slice_pred = min(max(256, 1 << (need - 1).bit_length()), r_full)
+        if n_dec is not None:
+            cand_ids = np.where(
+                np.arange(cand_ids.shape[1])[None, :] < n_dec[:, None],
+                cand_ids, -1)
         t1 = time.perf_counter()
 
         q, r = cand_ids.shape

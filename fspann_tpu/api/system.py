@@ -240,6 +240,7 @@ class ForwardSecureANNSystem:
                 raise ValueError("real_src length must match queries")
         probes = self.cfg.runtime.effective_probes()
         n_base = max(self.index.size, 1)
+        run_mark = self.profiler.mark()   # aggregate only THIS run's rows
 
         starts = list(range(0, nq, self.query_batch))
         batches = [self.tokens.create_batch(queries[s:s + self.query_batch],
@@ -316,7 +317,7 @@ class ForwardSecureANNSystem:
                     distance_ratio_at_k=np.asarray(ratios[k], np.float64)
                     if ratios else nan,
                     **common)
-        return Aggregates.from_profiler(self.profiler)
+        return Aggregates.from_profiler(self.profiler, run_mark)
 
     def _metrics_block(self, orig_idx, qvecs, ret_ids, ret_dist, ks, gtm,
                        base):

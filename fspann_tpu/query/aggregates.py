@@ -71,11 +71,14 @@ class Aggregates:
         return agg
 
     @classmethod
-    def from_profiler(cls, profiler) -> "Aggregates":
+    def from_profiler(cls, profiler,
+                      since: tuple[int, int] | None = None) -> "Aggregates":
         """Vectorized aggregation straight from the profiler's column
         blocks — no per-row object materialization (the per-object path
-        cost ~1 ms/query ×7 K-variants at serving rates)."""
-        cols = profiler.columns()
+        cost ~1 ms/query ×7 K-variants at serving rates).  ``since``: a
+        ``profiler.mark()`` taken at run start — aggregate only rows this
+        run recorded (sweeps mutate config between runs on one system)."""
+        cols = profiler.columns(since)
         if cols is None:
             return cls()
         return cls.from_columns(cols)

@@ -111,13 +111,26 @@ class Profiler:
         self._rows_direct.clear()
         self._rows_cache = None
 
-    def columns(self) -> dict[str, np.ndarray] | None:
-        """All rows as one dict of concatenated column arrays (None if
-        empty) — the vectorized aggregation input."""
-        blocks = list(self._blocks)
-        if self._rows_direct:
+    def mark(self) -> tuple[int, int]:
+        """Position marker (direct-row count, block count) for
+        ``columns(since=...)`` — lets an evaluation run aggregate ONLY its
+        own rows while the profiler keeps the whole session for export.
+        (Without this, back-to-back ``run_queries`` sweeps on one system
+        reported RUNNING AVERAGES across operating points — the round-3
+        calibration-contamination bug.)"""
+        return (len(self._rows_direct), len(self._blocks))
+
+    def columns(self, since: tuple[int, int] | None = None
+                ) -> dict[str, np.ndarray] | None:
+        """Rows as one dict of concatenated column arrays (None if empty) —
+        the vectorized aggregation input.  ``since``: a :meth:`mark` value;
+        only rows recorded after it are included."""
+        d0, b0 = since if since is not None else (0, 0)
+        blocks = list(self._blocks[b0:])
+        direct = self._rows_direct[d0:]
+        if direct:
             blocks.insert(0, {
-                f: np.asarray([getattr(r, f) for r in self._rows_direct])
+                f: np.asarray([getattr(r, f) for r in direct])
                 for f in ROW_FIELDS})
         if not blocks:
             return None

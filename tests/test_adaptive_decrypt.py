@@ -204,6 +204,24 @@ def test_probe_mode_unaffected_by_margin(small_system):
         obj.cfg = cfg
 
 
+def test_run_queries_aggregates_only_own_rows(small_system):
+    """Back-to-back run_queries on ONE system with different operating
+    points must each report their OWN run — not a running average (the
+    round-3 calibration-contamination bug: sweeps without clear_rows
+    reported means over every previous point)."""
+    s, cfg, base, queries, gtm = small_system
+    _with_margin(s, cfg, 0)
+    full = s.run_queries(queries, gtm, base)
+    _with_margin(s, cfg, 1)
+    tight = s.run_queries(queries, gtm, base)      # no clear_rows between
+    s.profiler.clear_rows()
+    tight_clean = s.run_queries(queries, gtm, base)
+    assert tight.mean_cand_decrypted == tight_clean.mean_cand_decrypted
+    assert tight.mean_cand_decrypted < full.mean_cand_decrypted
+    assert tight.num_queries == len(queries)
+    _with_margin(s, cfg, 0)
+
+
 def test_config_validation():
     from fspann_tpu.config import SystemConfig, RuntimeConfig
 

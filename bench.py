@@ -171,6 +171,12 @@ def main():
             cfg = dataclasses.replace(
                 cfg, runtime=dataclasses.replace(
                     cfg.runtime, rerank_limit=int(rerank_env)))
+        margin_env = os.environ.get("BENCH_MARGIN")
+        if margin_env is not None:   # adaptive per-query decrypt budget
+            cfg = dataclasses.replace(
+                cfg, runtime=dataclasses.replace(
+                    cfg.runtime,
+                    adaptive_decrypt_margin=int(margin_env)))
         routing_env = os.environ.get("BENCH_ROUTING")
         if routing_env:              # "scan" = MXU Hamming scan stage A
             cfg = dataclasses.replace(

@@ -199,6 +199,23 @@ class DistributedEncryptedSystem:
             cand_ids, _scores = self.index.scan_route(
                 queries, limit=rt.effective_refinement(),
                 probe_shards=probe_shards)
+            if rt.adaptive_decrypt_margin > 0:
+                # adaptive per-query decrypt budget (mirrors the
+                # single-chip scan path, query/service.py): the merged
+                # score matrix is already host-side, so the count is a
+                # numpy one-liner — mask the non-competitive tail before
+                # the sharded AES fan-out
+                L = cand_ids.shape[1]
+                a = max(min(rt.adaptive_decrypt_anchor, L), 1)
+                pad = np.iinfo(np.int32).max
+                s_a = np.minimum(_scores[:, a - 1],
+                                 pad - rt.adaptive_decrypt_margin - 1)
+                n_dec = (_scores <= (s_a + rt.adaptive_decrypt_margin)
+                         [:, None]).sum(axis=1).astype(np.int32)
+                floor = rt.adaptive_decrypt_floor or a
+                n_dec = np.clip(n_dec, min(floor, L), L)
+                cand_ids = np.where(
+                    np.arange(L)[None, :] < n_dec[:, None], cand_ids, -1)
         else:
             cand_ids, _scores = self.index.route(
                 queries, probes=rt.effective_probes(),

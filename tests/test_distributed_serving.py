@@ -673,3 +673,53 @@ def test_mesh_compact_storage_reclaims(tmp_path, rng):
         assert 3 in ids[0].tolist()
     finally:
         sys_.close()
+
+
+def test_mesh_adaptive_decrypt_budget(tmp_path, rng):
+    """Mesh-path adaptive per-query decrypt budget: a saturated margin is
+    result-identical to adaptive-off with the same decrypt count; a tight
+    margin cuts the ids fanned out to the sharded AES open at near-equal
+    recall (mirrors the single-chip tests in test_adaptive_decrypt.py)."""
+    import dataclasses
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, q, k = 2048, 16, 8, 10
+    centers = rng.normal(size=(16, d)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, n)] + \
+        rng.normal(size=(n, d)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32)
+    cfg = _scan_cfg(d)
+    sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / "adapt"), d)
+
+    decrypted = []
+    orig = sys_.store.load_decrypt_batch
+
+    def counting(flat, **kw):
+        decrypted.append(int((np.asarray(flat) >= 0).sum()))
+        return orig(flat, **kw)
+
+    sys_.store.load_decrypt_batch = counting
+
+    def with_margin(margin):
+        sys_.cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
+            cfg.runtime, adaptive_decrypt_margin=margin)).validate()
+
+    try:
+        sys_.build(base)
+        ids_off, d_off = sys_.search_batch(queries, k)
+        with_margin(10_000)            # saturated: n_dec == L everywhere
+        ids_sat, d_sat = sys_.search_batch(queries, k)
+        np.testing.assert_array_equal(ids_off, ids_sat)
+        np.testing.assert_allclose(d_off, d_sat)
+        assert decrypted[1] == decrypted[0]
+        with_margin(2)                 # tight: score-competitive set only
+        ids_on, _ = sys_.search_batch(queries, k)
+        assert decrypted[2] < decrypted[0]
+        d2 = ((base[None] - queries[:, None]) ** 2).sum(-1)
+        gt = np.argsort(d2, axis=1)[:, :k]
+        r_off = sum(len(set(ids_off[i]) & set(gt[i])) for i in range(q))
+        r_on = sum(len(set(ids_on[i]) & set(gt[i])) for i in range(q))
+        assert r_on >= r_off - q        # near-equal recall
+    finally:
+        sys_.close()

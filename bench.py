@@ -132,18 +132,21 @@ def main():
         if profile == "parity" and corpus_kind == "hard":
             # MXU Hamming scan (ops/hamming_scan.py): ONE int8 bit-matmul
             # scores every point's full code against the query batch, then
-            # decrypt only the global top-2k.  m=48 ⇒ 2,304-bit codes
-            # (2.3 GB HBM at 1M): measured round 3 on TPU 293.3 q/s, ART
-            # 3.3 ms, recall@10 0.9867 / recall@100 0.9248, ratio 1.0013 —
-            # recall@100 0.15 ABOVE the reference's best row at ~1300x
-            # lower latency.  BENCH_M=24 restores the round-2 1,152-bit
-            # point (307.8 q/s @ r@10 0.9191); BENCH_ROUTING=probe gives
-            # the reference-parity multi-probe path.
-            paper_kw = {"tables": 8, "m": 48}
+            # decrypt only the score-competitive head of the global top-2k
+            # (adaptive per-query decrypt budget, margin=40 of 3,072 bits).
+            # m=64 ⇒ 3,072-bit codes: measured round 3 on TPU 328.6 q/s,
+            # ART 2.9 ms, recall@10 0.9949 / recall@100 0.9498, ratio
+            # 1.0007 — recall@100 0.18 ABOVE the reference's best row at
+            # ~1400x lower latency.  BENCH_M=48 restores the previous
+            # 2,304-bit point (293.3 q/s @ r@10 0.9867), BENCH_MARGIN=0
+            # disables the adaptive budget; BENCH_ROUTING=probe gives the
+            # reference-parity multi-probe path.
+            paper_kw = {"tables": 8, "m": 64}
             rt_kw = {"probe_override": 16, "block_size": 128,
                      "refinement_limit": 56000,
                      "max_global_candidates": 56000,
                      "rerank_limit": 2000,
+                     "adaptive_decrypt_margin": 40,
                      "routing_mode": "scan"}
         cfg = dataclasses.replace(
             cfg,

@@ -21,12 +21,23 @@ import jax
 # Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with a
 # different platform pinned (this image registers the axon TPU plugin at
 # interpreter start; env vars read later would otherwise be ignored).
+#
+# The env var is honored ONLY when every platform it names is already in
+# the current config list (or the config is unset).  Rationale: the image
+# boot exports JAX_PLATFORMS=<tpu-plugin> itself, so the env var is not
+# necessarily the caller's choice — but a caller who programmatically ran
+# ``jax.config.update("jax_platforms", "cpu")`` has REMOVED the pinned
+# platform from the config, and that explicit narrowing must win over the
+# boot-injected env var (otherwise a config-cpu script silently runs on
+# the TPU the moment it imports this package — measured, round 3).  The
+# supported workflows both keep working: ``JAX_PLATFORMS=cpu python ...``
+# (sitecustomize widens the config to "axon,cpu", cpu ⊆ it → honored) and
+# programmatic config updates (env "axon" ⊄ config "cpu" → left alone).
 _env_platforms = os.environ.get("JAX_PLATFORMS")
-if _env_platforms and \
-        (getattr(jax.config, "jax_platforms", None) or "") != _env_platforms:
-    # the env var is the caller's explicit choice; sitecustomize pins the
-    # axon TPU via config before user code runs, so config alone can't be
-    # trusted (code that overrides programmatically should also set the env)
+_cfg_platforms = getattr(jax.config, "jax_platforms", None) or ""
+if _env_platforms and _env_platforms != _cfg_platforms and \
+        (not _cfg_platforms or
+         set(_env_platforms.split(",")) <= set(_cfg_platforms.split(","))):
     try:
         jax.config.update("jax_platforms", _env_platforms)
     except Exception:  # noqa: BLE001 — never block import on platform quirks

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, ".")
 import jax  # noqa: E402
 
+os.environ["JAX_PLATFORMS"] = "cpu"   # env AND config (CLAUDE.md gotcha)
 jax.config.update("jax_platforms", "cpu")
 
 N = int(os.environ.get("CAL_N", 1_000_000))

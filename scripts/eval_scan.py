@@ -26,6 +26,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the env var alone is too late (CLAUDE.md) — force the platform here,
     # before any computation runs
     import jax
+    os.environ["JAX_PLATFORMS"] = "cpu"   # env AND config (CLAUDE.md gotcha)
     jax.config.update("jax_platforms", "cpu")
 
 

@@ -75,10 +75,15 @@ def main():
     n = int(os.environ.get("BENCH_N", 1_000_000))
     d = int(os.environ.get("BENCH_D", 128))
     q = int(os.environ.get("BENCH_Q", 256))
-    # Measured on this host: batch 64 + f32 wins — bigger batches blow the
-    # (tiny) cache hierarchy and f16 pays an extra full-size conversion
-    # write that outweighs its halved AES read on a DRAM-starved machine.
-    # f16 remains the right call for HBM-resident device serving.
+    # Batch 64 + f32: the best recorded headline row (328.6 q/s) is at 64.
+    # A same-build A/B at the parity config (scripts/calib_tpu_op.py,
+    # bench_results/calib_tpu_op_ab.log) shows batch 128 slightly ahead in
+    # both adjacent pairs, but the host's slow-phase weather swings rates
+    # ±2× across minutes — the batch effect is inside the noise, so the
+    # default stays at the proven point.  f16 pays an extra full-size
+    # conversion write that outweighs its halved AES read on a
+    # DRAM-starved host; it remains the right call for HBM-resident
+    # device serving.
     batch = int(os.environ.get("BENCH_BATCH", 64))
     dtype = os.environ.get("BENCH_DTYPE", "f32")
     # encode/build on the host by default: through the axon tunnel each raw

@@ -87,6 +87,13 @@ class RuntimeConfig:
     # switches to the chunked running-top-L scan past this.  0 = auto from
     # the scan device's reported free memory (index/service.py).
     scan_flat_budget_mb: int = 0
+    # Scan-state HBM layout: "off" = unpacked int8 bit matrix (N*B bytes,
+    # fastest — one HBM read per scan), "on" = packed uint32 words (N*B/8
+    # bytes; the chunked scan unpacks per chunk on-device — ~2x traffic
+    # but 8x less resident HBM: 10M x 3,072-bit codes = 3.8 GB instead of
+    # 30 GB), "auto" = pack only when the unpacked matrix would not fit
+    # the device budget (index/service.py:_scan_auto_pack).
+    scan_packed: str = "auto"
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
     # Where ingestion encoding + partition build run: "default" (the
@@ -223,6 +230,9 @@ class SystemConfig:
                                         rt.refinement_limit))
         if rt.routing_mode not in ("probe", "scan"):
             raise ValueError(f"unknown routing_mode {rt.routing_mode!r}")
+        if rt.scan_packed not in ("auto", "on", "off"):
+            raise ValueError(f"scan_packed must be auto/on/off, "
+                             f"got {rt.scan_packed!r}")
         if rt.adaptive_decrypt_margin < 0:
             raise ValueError("adaptive_decrypt_margin must be >= 0")
         if rt.adaptive_decrypt_margin > 0:
@@ -278,6 +288,7 @@ _FIELD_ALIASES = {
     "rerankLimit": "rerank_limit",
     "routingMode": "routing_mode",
     "scanFlatBudgetMb": "scan_flat_budget_mb",
+    "scanPacked": "scan_packed",
     "adaptiveDecryptMargin": "adaptive_decrypt_margin",
     "adaptiveDecryptAnchor": "adaptive_decrypt_anchor",
     "adaptiveDecryptFloor": "adaptive_decrypt_floor",

@@ -225,8 +225,7 @@ class PartitionedIndex:
             # probe-path rerank only; the scan keeps unpacked bits instead
             self.point_codes = jax.device_put(codes)
         if self.cfg.runtime.routing_mode == "scan":
-            self._scan_state = hamming_scan.build_scan_state(
-                np.asarray(codes), self.cfg.paper.code_bits)
+            self._scan_state = self._make_scan_state(np.asarray(codes))
             self._scan_codes = np.asarray(codes)   # persisted by save_table
         if self.cfg.runtime.encode_backend == "cpu":
             # sort/build on the host too (numpy), then ship the compact
@@ -280,12 +279,18 @@ class PartitionedIndex:
             codes = np.asarray(codes)
         cb = self.cfg.paper.code_bits
         new_bits = hamming_scan.unpack_bits_numpy(codes, cb)
+        new_popc = jnp.asarray(new_bits.sum(axis=1, dtype=np.int32))
         st = self._scan_state
-        self._scan_state = hamming_scan.ScanState(
-            jnp.concatenate([st.bits, jnp.asarray(new_bits)], axis=0),
-            jnp.concatenate([st.popc,
-                             jnp.asarray(new_bits.sum(axis=1,
-                                                      dtype=np.int32))]))
+        if isinstance(st, hamming_scan.PackedScanState):
+            self._scan_state = hamming_scan.PackedScanState(
+                jnp.concatenate(
+                    [st.words, jnp.asarray(codes.astype(np.uint32))],
+                    axis=0),
+                jnp.concatenate([st.popc, new_popc]))
+        else:
+            self._scan_state = hamming_scan.ScanState(
+                jnp.concatenate([st.bits, jnp.asarray(new_bits)], axis=0),
+                jnp.concatenate([st.popc, new_popc]))
         self._scan_codes = np.concatenate([self._scan_codes, codes])
         self._row_ids = np.concatenate([self._row_ids, ids])
         self._dense = bool(self._dense and len(ids)
@@ -354,15 +359,25 @@ class PartitionedIndex:
                 np.asarray(qcodes), self.cfg.paper.code_bits))
             scan_l = min(refinement_limit or rt.effective_refinement(),
                          self._n_rows)
-            flat_bytes = qbits.shape[0] * self._n_rows * 12
-            scan_fn = hamming_scan.scan \
-                if flat_bytes <= self._scan_flat_budget() \
-                else hamming_scan.scan_chunked
-            res = scan_fn(self._scan_state, qbits, self._tombstones(),
-                          scan_l,
-                          anchor=rt.adaptive_decrypt_anchor,
-                          margin=rt.adaptive_decrypt_margin,
-                          floor=rt.adaptive_decrypt_floor)
+            if isinstance(self._scan_state, hamming_scan.PackedScanState):
+                # packed state always goes through the chunked scan (the
+                # per-chunk device unpack is the point of packing)
+                res = hamming_scan.scan_chunked(
+                    self._scan_state, qbits, self._tombstones(), scan_l,
+                    anchor=rt.adaptive_decrypt_anchor,
+                    margin=rt.adaptive_decrypt_margin,
+                    floor=rt.adaptive_decrypt_floor,
+                    code_bits=self.cfg.paper.code_bits)
+            else:
+                flat_bytes = qbits.shape[0] * self._n_rows * 12
+                scan_fn = hamming_scan.scan \
+                    if flat_bytes <= self._scan_flat_budget() \
+                    else hamming_scan.scan_chunked
+                res = scan_fn(self._scan_state, qbits, self._tombstones(),
+                              scan_l,
+                              anchor=rt.adaptive_decrypt_anchor,
+                              margin=rt.adaptive_decrypt_margin,
+                              floor=rt.adaptive_decrypt_floor)
         elif self._table_stale:
             raise RuntimeError(
                 "partition table stale after live inserts — probe routing "
@@ -387,6 +402,37 @@ class PartitionedIndex:
                                       None if res.n_dec is None
                                       else np.asarray(res.n_dec))
         return res
+
+    def _make_scan_state(self, codes: np.ndarray):
+        """Build the scan state in the configured HBM layout.  "auto"
+        packs only when the unpacked int8 bit matrix would not fit the
+        device budget — packed costs ~2x scan traffic but 8x less
+        resident HBM (ops/hamming_scan.PackedScanState)."""
+        cb = self.cfg.paper.code_bits
+        mode = self.cfg.runtime.scan_packed
+        if mode == "auto":
+            bits_bytes = int(codes.shape[0]) * self.cfg.paper.num_groups * cb
+            mode = "on" if bits_bytes > self._scan_pack_budget() else "off"
+        if mode == "on":
+            return hamming_scan.build_scan_state_packed(codes, cb)
+        return hamming_scan.build_scan_state(codes, cb)
+
+    def _scan_pack_budget(self) -> int:
+        """Resident-HBM budget for the unpacked bit matrix: 60% of the
+        default device's reported free memory (leaves room for the [Q,
+        chunk] scan scratch + the partition table), 4 GiB fallback on
+        backends without memory stats (host CPU)."""
+        budget = 4 << 30
+        try:
+            import jax as _jax
+            stats = _jax.local_devices()[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                free = int(stats["bytes_limit"]) \
+                    - int(stats.get("bytes_in_use", 0))
+                budget = max(free * 6 // 10, 256 << 20)
+        except Exception:
+            pass
+        return budget
 
     def _scan_flat_budget(self) -> int:
         """Bytes of [Q, N] rank scratch the flat scan may allocate before
@@ -478,8 +524,7 @@ class PartitionedIndex:
             if rt.rerank_limit > 0 and rt.routing_mode != "scan":
                 self.point_codes = jax.device_put(codes)
             if rt.routing_mode == "scan":
-                self._scan_state = hamming_scan.build_scan_state(
-                    codes, self.cfg.paper.code_bits)
+                self._scan_state = self._make_scan_state(codes)
                 self._scan_codes = codes
         self.table = jax.device_put(PartitionTable(
             z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),

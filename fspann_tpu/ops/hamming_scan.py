@@ -44,6 +44,20 @@ class ScanState(NamedTuple):
     popc: jax.Array   # int32 [N] popcount per point
 
 
+class PackedScanState(NamedTuple):
+    """Scan state kept PACKED in HBM (uint32 words, 8× less memory than the
+    int8 bit matrix): 10M rows × 3,072-bit codes = 3.84 GB instead of
+    30 GB — full-width codes at 10M+ rows fit a single 16 GB chip.  The
+    chunked scan unpacks one chunk at a time on-device (VPU shifts) right
+    before its MXU bit-matmul; the unpack scratch is one [chunk, B] block,
+    reused across loop steps.  Trade-off: ~2× the HBM traffic of an
+    unpacked scan (words read + scratch write + matmul read), so the
+    unpacked state stays the default whenever it fits."""
+
+    words: jax.Array  # uint32 [N, G, W] packed codes (MSB-first, coding.py)
+    popc: jax.Array   # int32 [N] popcount per point
+
+
 def unpack_bits_numpy(codes: np.ndarray, code_bits: int) -> np.ndarray:
     """uint32 packed words [N, G, W] → int8 bit matrix [N, G*code_bits].
 
@@ -81,6 +95,20 @@ def build_scan_state(codes: np.ndarray, code_bits: int,
     bits = parts[0] if len(parts) == 1 else np.concatenate(parts)
     popc = bits.sum(axis=1, dtype=np.int32)
     return ScanState(jax.device_put(bits), jax.device_put(popc))
+
+
+def build_scan_state_packed(codes: np.ndarray, code_bits: int,
+                            chunk: int = 262_144) -> PackedScanState:
+    """Upload the packed words as-is; popcounts computed host-side in
+    bounded chunks (the only full unpack, and it never leaves the host)."""
+    n = codes.shape[0]
+    popc = np.empty(n, np.int32)
+    for lo in range(0, n, chunk):
+        popc[lo:lo + chunk] = unpack_bits_numpy(
+            codes[lo:lo + chunk], code_bits).sum(axis=1, dtype=np.int32)
+    return PackedScanState(
+        jax.device_put(np.ascontiguousarray(codes, np.uint32)),
+        jax.device_put(popc))
 
 
 def _adaptive_count(scores: jax.Array, anchor: int, margin: int,
@@ -155,23 +183,37 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("limit", "chunk", "approx", "anchor",
-                                   "margin", "floor"))
-def scan_chunked(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
+                                   "margin", "floor", "code_bits"))
+def scan_chunked(state: ScanState | PackedScanState, qbits: jax.Array,
+                 tombstones: jax.Array,
                  limit: int, chunk: int = 1 << 19,
                  approx: bool = True, anchor: int = 0, margin: int = 0,
-                 floor: int = 0) -> RouteResult:
+                 floor: int = 0, code_bits: int = 0) -> RouteResult:
     """:func:`scan` with the corpus processed in ``chunk``-row blocks and a
     running top-L merge — the [Q, N] rank intermediate becomes [Q, chunk],
     so memory stays flat as N grows (the full-width scan needs Q·N·8 bytes
     of dots+rank scratch: 6.4 GB at 12.5M rows × 64 queries).
 
+    With a :class:`PackedScanState` (pass ``code_bits``) each chunk's words
+    are unpacked on-device right before the bit-matmul — the 8×-smaller
+    packed matrix is what lives in HBM.
+
     The tail block re-reads already-scanned rows (dynamic_slice clamps);
     those duplicates are masked DEAD so every id appears at most once.
     Exact-mode merge sorts by (score, id), matching :func:`scan`'s order.
     """
-    n, b = state.bits.shape
+    packed = isinstance(state, PackedScanState)
+    if packed:
+        if code_bits <= 0:
+            raise ValueError("PackedScanState requires code_bits")
+        n, g, w = state.words.shape
+        b = g * code_bits
+    else:
+        n, b = state.bits.shape
     if n <= chunk:
-        return scan(state, qbits, tombstones, limit, approx,
+        st = ScanState(unpack_bits_device(state.words, code_bits),
+                       state.popc) if packed else state
+        return scan(st, qbits, tombstones, limit, approx,
                     anchor, margin, floor)
     q = qbits.shape[0]
     k = min(limit, chunk, n)
@@ -182,7 +224,13 @@ def scan_chunked(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
         best_sc, best_id = carry
         start = i * chunk
         start_c = jnp.minimum(start, n - chunk)
-        bits_c = jax.lax.dynamic_slice(state.bits, (start_c, 0), (chunk, b))
+        if packed:
+            words_c = jax.lax.dynamic_slice(state.words, (start_c, 0, 0),
+                                            (chunk, g, w))
+            bits_c = unpack_bits_device(words_c, code_bits)
+        else:
+            bits_c = jax.lax.dynamic_slice(state.bits, (start_c, 0),
+                                           (chunk, b))
         popc_c = jax.lax.dynamic_slice(state.popc, (start_c,), (chunk,))
         tomb_c = jax.lax.dynamic_slice(tombstones, (start_c,), (chunk,))
         dots = jax.lax.dot_general(

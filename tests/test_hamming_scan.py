@@ -291,3 +291,127 @@ def test_scan_system_delete_and_undelete(tmp_path, rng):
         assert sys_.search(tok3)[0].id == 42
     finally:
         sys_.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# packed scan state (8x-less-HBM layout, per-chunk device unpack)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_scan_matches_unpacked(rng):
+    """PackedScanState through the chunked scan == unpacked flat scan,
+    bit-exactly, including tombstones and the adaptive n_dec counts."""
+    base, bank, codes = _mk(rng, n=700)
+    queries = rng.normal(size=(7, 24)).astype(np.float32) * 4
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = jnp.asarray(
+        hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits))
+    tomb = np.zeros(700, bool)
+    tomb[rng.integers(0, 700, 30)] = True
+    tomb_d = jnp.asarray(tomb)
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    packed = hamming_scan.build_scan_state_packed(codes, bank.code_bits)
+    np.testing.assert_array_equal(np.asarray(state.popc),
+                                  np.asarray(packed.popc))
+    flat = hamming_scan.scan(state, qbits, tomb_d, 60, approx=False,
+                             anchor=10, margin=6)
+    pk = hamming_scan.scan_chunked(packed, qbits, tomb_d, 60, chunk=256,
+                                   approx=False, anchor=10, margin=6,
+                                   code_bits=bank.code_bits)
+    np.testing.assert_array_equal(np.asarray(flat.ids), np.asarray(pk.ids))
+    np.testing.assert_array_equal(np.asarray(flat.scores),
+                                  np.asarray(pk.scores))
+    np.testing.assert_array_equal(np.asarray(flat.n_dec),
+                                  np.asarray(pk.n_dec))
+
+
+def test_packed_scan_small_corpus_fallback(rng):
+    """n <= chunk: the packed state unpacks whole on-device and takes the
+    flat path — still bit-exact."""
+    base, bank, codes = _mk(rng, n=200)
+    queries = rng.normal(size=(4, 24)).astype(np.float32) * 4
+    qc, _ = coding.encode(jnp.asarray(queries), bank)
+    qbits = jnp.asarray(
+        hamming_scan.unpack_bits_numpy(np.asarray(qc), bank.code_bits))
+    tomb = jnp.zeros(200, bool)
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    packed = hamming_scan.build_scan_state_packed(codes, bank.code_bits)
+    a = hamming_scan.scan(state, qbits, tomb, 40, approx=False)
+    b = hamming_scan.scan_chunked(packed, qbits, tomb, 40, chunk=1024,
+                                  approx=False, code_bits=bank.code_bits)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.scores),
+                                  np.asarray(b.scores))
+
+
+def test_packed_scan_requires_code_bits(rng):
+    base, bank, codes = _mk(rng, n=64)
+    packed = hamming_scan.build_scan_state_packed(codes, bank.code_bits)
+    with pytest.raises(ValueError, match="code_bits"):
+        hamming_scan.scan_chunked(packed, jnp.zeros((2, 40), jnp.int8),
+                                  jnp.zeros(64, bool), 10)
+
+
+def test_packed_system_end_to_end(tmp_path, rng):
+    """scan_packed='on' at the system level: identical results to 'off',
+    live insert appends packed words, checkpoint restore preserves the
+    packed layout choice."""
+    import dataclasses
+    from fspann_tpu.api.system import ForwardSecureANNSystem
+    from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig
+    from fspann_tpu.ops import hamming_scan as hs
+
+    n, d, q, k = 3000, 16, 6, 10
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    queries = base[rng.integers(0, n, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32) * 0.05
+
+    def mk(packed, path):
+        cfg = SystemConfig(
+            paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+            runtime=RuntimeConfig(refinement_limit=400,
+                                  max_global_candidates=400,
+                                  block_size=32, routing_mode="scan",
+                                  scan_packed=packed)).validate()
+        s = ForwardSecureANNSystem(cfg, str(tmp_path / path), d,
+                                   query_batch=q)
+        s.index_stream(base, batch_size=1500)
+        s.finalize_for_search()
+        return s
+
+    def results(s, vec, kk):
+        tok = s.create_token(vec, kk)
+        return [(r.id, round(float(r.distance), 5)) for r in s.search(tok)]
+
+    s_off = mk("off", "off")
+    s_on = mk("on", "on")
+    assert isinstance(s_on.index._scan_state, hs.PackedScanState)
+    assert isinstance(s_off.index._scan_state, hs.ScanState)
+    for qi in range(q):
+        assert results(s_off, queries[qi], k) == results(s_on, queries[qi],
+                                                         k)
+
+    # live insert appends packed words and is immediately searchable
+    new = rng.normal(size=(5, d)).astype(np.float32) * 4
+    new_ids = np.arange(n, n + 5, dtype=np.int64)
+    s_on.insert_live(new_ids, new)
+    s_off.insert_live(new_ids, new)
+    qn = new[2] + 0.01
+    a = results(s_on, qn, 5)
+    assert a == results(s_off, qn, 5)
+    assert new_ids[2] in [i for i, _ in a]
+
+    # restore keeps the configured layout and the results
+    r_on = [results(s_on, queries[qi], k) for qi in range(q)]
+    s_on.flush_all()
+    s_on.shutdown()
+    cfg2 = dataclasses.replace(
+        s_off.cfg, runtime=dataclasses.replace(s_off.cfg.runtime,
+                                               scan_packed="on"))
+    back = ForwardSecureANNSystem(cfg2, str(tmp_path / "on"), d,
+                                  query_batch=q)
+    assert back.restore_index_from_disk() == n + 5
+    assert isinstance(back.index._scan_state, hs.PackedScanState)
+    assert [results(back, queries[qi], k) for qi in range(q)] == r_on
+    back.shutdown()
+    s_off.shutdown()

@@ -29,7 +29,7 @@ from ..crypto.keys import KeyManager
 from ..ops import coding
 from ..query.service import _host_refine
 from ..store.sharded_store import ShardedPointStore
-from .sharded import ShardedIndex, make_mesh
+from .sharded import ShardedIndex, make_mesh, resolve_scan_layout
 
 
 class DistributedEncryptedSystem:
@@ -76,6 +76,18 @@ class DistributedEncryptedSystem:
 
     # -- build -----------------------------------------------------------------
 
+    def _scan_layout(self, shard_rows: int):
+        """The configured scan-state HBM layout (runtime.scan_packed →
+        keep_bits value): False off scan mode; True unpacked; "packed" the
+        8×-less-HBM word layout; auto decides from device memory."""
+        rt = self.cfg.runtime
+        if rt.routing_mode != "scan":
+            return False
+        pp = self.cfg.paper
+        mode = {"on": "packed", "off": True, "auto": "auto"}[rt.scan_packed]
+        return resolve_scan_layout(mode, shard_rows,
+                                   pp.num_groups * pp.code_bits)
+
     def build(self, base: np.ndarray, sample: int = 1000,
               capacity: int | None = None) -> None:
         """Encrypt + persist the corpus into shard-aligned arenas and build
@@ -90,10 +102,11 @@ class DistributedEncryptedSystem:
         self.index = ShardedIndex(self.mesh, bank,
                                   block_size=self.cfg.runtime.block_size)
         rt = self.cfg.runtime
+        rows = -(-max(self.n, capacity or 0) // self.ndev)
         self.index.build(base, keep_base=False,
                          keep_codes=(rt.rerank_limit > 0
                                      and rt.routing_mode != "scan"),
-                         keep_bits=rt.routing_mode == "scan",
+                         keep_bits=self._scan_layout(rows),
                          capacity=capacity)
         self.store.set_range_size(self.index.shard_rows)
         self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
@@ -181,7 +194,7 @@ class DistributedEncryptedSystem:
         total = self.index.build_stream(
             feed(), n_total,
             keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),
-            keep_bits=rt.routing_mode == "scan", capacity=capacity)
+            keep_bits=self._scan_layout(rows), capacity=capacity)
         self.store.flush()
         return total
 
@@ -276,10 +289,11 @@ class DistributedEncryptedSystem:
         the number of live rows."""
         rt = self.cfg.runtime
         path = os.path.join(self.base_dir, "mesh_state.npz")
+        rows = int(np.load(path)["shard_rows"])
         self.index = ShardedIndex.restore_state(
             path, self.mesh,
             keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),
-            keep_bits=rt.routing_mode == "scan")
+            keep_bits=self._scan_layout(rows))
         self.store.set_range_size(self.index.shard_rows)
         self.n = self.index.n
         # deletions live in the shard stores' metadata (the mesh checkpoint

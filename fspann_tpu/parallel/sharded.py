@@ -39,6 +39,36 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def resolve_scan_layout(mode, shard_rows: int, bits_per_row: int):
+    """Map a scan-layout request to a concrete ``keep_bits`` value.
+
+    ``mode``: False (no scan state), True/"off" (unpacked int8 bit matrix),
+    "packed"/"on" (uint32 words, 8× less HBM, per-chunk unpack inside the
+    scan — what lets 12.5M rows × 3,072-bit codes fit a 16 GB chip at the
+    100M×768/v5e-8 stretch), or "auto" (pack only when the unpacked
+    matrix would not fit ~60% of the device's free memory; 4 GiB fallback
+    when the backend reports no stats).
+    """
+    if mode in (False, None):
+        return False
+    if mode in (True, "off"):
+        return True
+    if mode in ("packed", "on"):
+        return "packed"
+    if mode != "auto":
+        raise ValueError(f"unknown scan layout {mode!r}")
+    budget = 4 << 30
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            free = int(stats["bytes_limit"]) \
+                - int(stats.get("bytes_in_use", 0))
+            budget = max(free * 6 // 10, 256 << 20)
+    except Exception:
+        pass
+    return "packed" if shard_rows * bits_per_row > budget else True
+
+
 class ShardedIndex:
     """Plaintext corpus sharded over a mesh with per-shard partition tables."""
 
@@ -52,6 +82,9 @@ class ShardedIndex:
         self.base: jax.Array | None = None
         self.point_codes: jax.Array | None = None   # [N_pad, G, W] sharded
         self.bits: jax.Array | None = None          # [N_pad, B] int8 sharded
+        self.words: jax.Array | None = None         # [N_pad, G, W] uint32
+        #   sharded packed scan words (the 8x-less-HBM layout; mutually
+        #   exclusive with `bits` — see resolve_scan_layout)
         self.popc: jax.Array | None = None          # [N_pad] int32 sharded
         self.tombs: jax.Array | None = None         # bool [N_pad] sharded
         self.shard_rows = 0
@@ -169,22 +202,7 @@ class ShardedIndex:
         self._init_tombs()
         self.point_codes = codes_dev if keep_codes else None
         self.base = base_dev if keep_base else None
-
-        if keep_bits:
-            # per-shard unpacked bit matrix + popcounts for the MXU scan
-            cb = bank.code_bits
-
-            @partial(jax.shard_map, mesh=self.mesh,
-                     in_specs=P(self.axis),
-                     out_specs=(P(self.axis), P(self.axis)))
-            def unpack_local(codes):
-                bits = hamming_scan.unpack_bits_device(codes, cb)
-                return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
-
-            self.bits, self.popc = unpack_local(codes_dev)
-            jax.block_until_ready(self.bits)
-        else:
-            self.bits = self.popc = None
+        self._set_scan_arrays(codes_dev, keep_bits)
 
     def build_stream(self, chunks, n_total: int, keep_codes: bool = False,
                      keep_bits: bool = False,
@@ -273,22 +291,41 @@ class ShardedIndex:
         self._init_tombs()
         self.base = None
         self.point_codes = codes_global if keep_codes else None
-
-        if keep_bits:
-            cb = bank.code_bits
-
-            @partial(jax.shard_map, mesh=self.mesh,
-                     in_specs=P(self.axis),
-                     out_specs=(P(self.axis), P(self.axis)))
-            def unpack_local(codes):
-                bits = hamming_scan.unpack_bits_device(codes, cb)
-                return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
-
-            self.bits, self.popc = unpack_local(codes_global)
-            jax.block_until_ready(self.bits)
-        else:
-            self.bits = self.popc = None
+        self._set_scan_arrays(codes_global, keep_bits)
         return pos
+
+    def _set_scan_arrays(self, codes_global, keep_bits) -> None:
+        """Materialize the scan state from the sharded packed codes in the
+        requested layout: True = per-shard unpacked int8 bit matrix,
+        "packed" = keep the uint32 words (popcounts via one
+        ``lax.population_count`` pass — pad bits are zero by the packers'
+        contract, ops/coding.py pack_codes), False = none."""
+        self.bits = self.words = self.popc = None
+        if not keep_bits:
+            return
+        if keep_bits == "packed":
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=P(self.axis), out_specs=P(self.axis))
+            def popc_local(codes):
+                return jnp.sum(
+                    jax.lax.population_count(codes).astype(jnp.int32),
+                    axis=(-2, -1))
+
+            self.words = codes_global
+            self.popc = popc_local(codes_global)
+            jax.block_until_ready(self.popc)
+            return
+        cb = self.bank.code_bits
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=P(self.axis),
+                 out_specs=(P(self.axis), P(self.axis)))
+        def unpack_local(codes):
+            bits = hamming_scan.unpack_bits_device(codes, cb)
+            return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
+
+        self.bits, self.popc = unpack_local(codes_global)
+        jax.block_until_ready(self.bits)
 
     # -- checkpoint / restore ----------------------------------------------------
 
@@ -300,7 +337,8 @@ class ShardedIndex:
         the checkpoint is N·G·W words instead of all derived state."""
         import os
 
-        codes = self.point_codes
+        codes = self.point_codes if self.point_codes is not None \
+            else self.words
         if codes is None and self.bits is None:
             raise RuntimeError("nothing to save: build with keep_codes or "
                                "keep_bits first")
@@ -372,17 +410,7 @@ class ShardedIndex:
         jax.block_until_ready(idx.table)
         idx._init_tombs()
         idx.point_codes = codes_global if keep_codes else None
-        if keep_bits:
-            cb = bank.code_bits
-
-            @partial(jax.shard_map, mesh=mesh,
-                     in_specs=P(axis), out_specs=(P(axis), P(axis)))
-            def unpack_local(codes):
-                bits = hamming_scan.unpack_bits_device(codes, cb)
-                return bits, jnp.sum(bits.astype(jnp.int32), axis=-1)
-
-            idx.bits, idx.popc = unpack_local(codes_global)
-            jax.block_until_ready(idx.bits)
+        idx._set_scan_arrays(codes_global, keep_bits)
         return idx
 
     # -- live insert (scan mode) -------------------------------------------------
@@ -407,7 +435,8 @@ class ShardedIndex:
         ``build_stream(capacity=...)``; appending past it raises.  Returns
         the assigned global row ids (the next ordinals — range placement
         demands contiguity)."""
-        if self.bits is None:
+        packed = self.words is not None
+        if self.bits is None and not packed:
             raise RuntimeError("mesh live insert requires "
                                "build(keep_bits=True) (routing_mode='scan')")
         vecs = np.ascontiguousarray(vecs, np.float32)
@@ -419,7 +448,7 @@ class ShardedIndex:
                 "live) — rebuild with capacity headroom")
         devs = list(self.mesh.devices.reshape(-1))
         cb = self.bank.code_bits
-        bits_parts = self._per_device(self.bits)
+        mat_parts = self._per_device(self.words if packed else self.bits)
         popc_parts = self._per_device(self.popc)
         pos, o = self.n, 0
         while o < b:
@@ -430,17 +459,30 @@ class ShardedIndex:
             chunk = jax.device_put(vecs[o:o + take], dv)
             bank_s = jax.device_put(self.bank, dv)
             codes_s, _ = coding.encode(chunk, bank_s)
-            new_bits = hamming_scan.unpack_bits_device(codes_s, cb)
-            new_popc = jnp.sum(new_bits.astype(jnp.int32), axis=-1)
-            bits_parts[s] = jax.lax.dynamic_update_slice(
-                bits_parts[s], new_bits, (off, 0))
+            if packed:
+                new_rows = codes_s
+                new_popc = jnp.sum(
+                    jax.lax.population_count(codes_s).astype(jnp.int32),
+                    axis=(-2, -1))
+                mat_parts[s] = jax.lax.dynamic_update_slice(
+                    mat_parts[s], new_rows, (off, 0, 0))
+            else:
+                new_rows = hamming_scan.unpack_bits_device(codes_s, cb)
+                new_popc = jnp.sum(new_rows.astype(jnp.int32), axis=-1)
+                mat_parts[s] = jax.lax.dynamic_update_slice(
+                    mat_parts[s], new_rows, (off, 0))
             popc_parts[s] = jax.lax.dynamic_update_slice(
                 popc_parts[s], new_popc, (off,))
             o += take
         shard = NamedSharding(self.mesh, P(self.axis))
-        bdim = self.bits.shape[1]
-        self.bits = jax.make_array_from_single_device_arrays(
-            (rows * nd, bdim), shard, bits_parts)
+        if packed:
+            g, w = self.bank.g, self.bank.code_words
+            self.words = jax.make_array_from_single_device_arrays(
+                (rows * nd, g, w), shard, mat_parts)
+        else:
+            bdim = self.bits.shape[1]
+            self.bits = jax.make_array_from_single_device_arrays(
+                (rows * nd, bdim), shard, mat_parts)
         self.popc = jax.make_array_from_single_device_arrays(
             (rows * nd,), shard, popc_parts)
         # kept packed codes (rerank path) don't cover the appended rows —
@@ -626,19 +668,113 @@ class ShardedIndex:
 
         return step
 
+    def scan_route_step_fn_packed(self, limit: int,
+                                  probe_shards: int | None = None,
+                                  approx: bool = True, chunk: int = 1 << 19):
+        """Packed-layout mesh scan: each shard runs a chunked running-top-L
+        loop — slice ``chunk`` packed rows, unpack on-device, MXU
+        bit-matmul, 2-key merge — so only [chunk, B] of unpacked scratch
+        ever exists per device (the resident state is the 8×-smaller word
+        matrix).  Merge + collective identical to the unpacked step."""
+        bank = self.bank
+        axis = self.axis
+        rows = self.shard_rows
+        shard_cap = self.n_devices if probe_shards is None \
+            else max(1, min(probe_shards, self.n_devices))
+        pad32 = jnp.iinfo(jnp.int32).max
+        dead = jnp.int32(1 << 30)
+        cb = bank.code_bits
+        g, w = bank.g, bank.code_words
+        chunk = min(chunk, rows)
+        nc = -(-rows // chunk)
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P(axis), P(None), P()),
+                 out_specs=(P(None), P(None)),
+                 check_vma=False)
+        def step(words_local, popc_local, tombs_local, queries, n_live):
+            qcodes, _ = coding.encode(queries, bank)
+            qbits = hamming_scan.unpack_bits_device(qcodes, cb)
+            qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)
+            q = qbits.shape[0]
+            base_gid = jax.lax.axis_index(axis) * rows
+            local_valid = (jnp.arange(rows) + base_gid < n_live)
+            local_valid &= jax.lax.axis_index(axis) < shard_cap
+            deadmask = ~local_valid | tombs_local              # [rows]
+            k = min(limit, chunk)
+
+            def body(i, carry):
+                best_sc, best_id = carry
+                # x64 is enabled package-wide: the fori_loop index arrives
+                # int64 here — pin the row arithmetic to int32 so the merge
+                # carry dtypes stay fixed
+                start = (i * chunk).astype(jnp.int32)
+                start_c = jnp.minimum(start, jnp.int32(rows - chunk))
+                zero = jnp.int32(0)
+                words_c = jax.lax.dynamic_slice(
+                    words_local, (start_c, zero, zero), (chunk, g, w))
+                bits_c = hamming_scan.unpack_bits_device(words_c, cb)
+                popc_c = jax.lax.dynamic_slice(popc_local, (start_c,),
+                                               (chunk,))
+                dead_c = jax.lax.dynamic_slice(deadmask, (start_c,),
+                                               (chunk,))
+                dots = jax.lax.dot_general(
+                    qbits, bits_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)          # [Q, chunk]
+                part = popc_c[None, :] - 2 * dots
+                ridx = start_c + jnp.arange(chunk, dtype=jnp.int32)
+                dd = dead_c[None, :] | (ridx < start)[None, :]
+                part = jnp.where(dd, dead, part)
+                if approx:
+                    neg, idx = jax.lax.approx_max_k(
+                        -part.astype(jnp.float32), k, recall_target=0.98)
+                    sc = (-neg).astype(jnp.int32)
+                else:
+                    neg, idx = jax.lax.top_k(-part, k)
+                    sc = -neg
+                cid = ridx[idx.reshape(-1)].reshape(q, k)
+                cid = jnp.where(sc < dead, cid, -1)
+                msc, mid = jax.lax.sort(
+                    (jnp.concatenate([best_sc,
+                                      sc.astype(jnp.int32)], axis=-1),
+                     jnp.concatenate([best_id,
+                                      cid.astype(jnp.int32)], axis=-1)),
+                    dimension=-1, num_keys=2)
+                return msc[:, :k], mid[:, :k]
+
+            init = (jnp.full((q, k), dead, jnp.int32),
+                    jnp.full((q, k), -1, jnp.int32))
+            best_sc, best_id = jax.lax.fori_loop(0, nc, body, init)
+            live = best_sc < dead
+            gids = jnp.where(live, best_id + base_gid, pad32)
+            sc = jnp.where(live, best_sc + qpopc[:, None], pad32)
+            all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            all_sc = jax.lax.all_gather(sc, axis, axis=1, tiled=True)
+            msc, mids = jax.lax.sort((all_sc, all_ids), dimension=-1,
+                                     num_keys=2)
+            r = min(limit, mids.shape[-1])
+            ids = jnp.where(mids[:, :r] == pad32, -1, mids[:, :r])
+            return ids, msc[:, :r]
+
+        return step
+
     def scan_route(self, queries: np.ndarray, limit: int = 2048,
                    probe_shards: int | None = None, approx: bool = True):
-        """Stage A via the mesh Hamming scan (needs build(keep_bits=True))."""
-        if self.bits is None:
+        """Stage A via the mesh Hamming scan (needs build(keep_bits=True)
+        or the packed layout, keep_bits="packed")."""
+        packed = self.words is not None
+        if self.bits is None and not packed:
             raise RuntimeError("scan requires build(keep_bits=True)")
-        key = ("scan", limit, probe_shards, approx)
+        key = ("scanp" if packed else "scan", limit, probe_shards, approx)
         step = self._steps.get(key)
         if step is None:
-            step = jax.jit(self.scan_route_step_fn(limit, probe_shards,
-                                                   approx))
+            mk = self.scan_route_step_fn_packed if packed \
+                else self.scan_route_step_fn
+            step = jax.jit(mk(limit, probe_shards, approx))
             self._steps[key] = step
-        ids, sc = step(self.bits, self.popc, self.tombs,
-                       jnp.asarray(queries, jnp.float32),
+        ids, sc = step(self.words if packed else self.bits, self.popc,
+                       self.tombs, jnp.asarray(queries, jnp.float32),
                        jnp.int32(self.n))
         return np.asarray(ids), np.asarray(sc)
 

@@ -723,3 +723,90 @@ def test_mesh_adaptive_decrypt_budget(tmp_path, rng):
         assert r_on >= r_off - q        # near-equal recall
     finally:
         sys_.close()
+
+
+def test_mesh_packed_scan_matches_unpacked(rng):
+    """keep_bits="packed" (8x-less-HBM word layout, per-shard chunked
+    unpack) must reproduce the unpacked mesh scan bit-exactly — including
+    deletions and live inserts."""
+    from fspann_tpu.ops import coding
+    from fspann_tpu.parallel.sharded import ShardedIndex, make_mesh
+
+    n, d = 1024, 16
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    bank = coding.build_bank_from_sample(base[:256], m=8, lam=2, tables=3,
+                                         divisions=2, seed=13)
+    mesh = make_mesh(8)
+    a = ShardedIndex(mesh, bank, block_size=32)
+    a.build(base, keep_base=False, keep_bits=True, capacity=n + 64)
+    b = ShardedIndex(mesh, bank, block_size=32)
+    b.build(base, keep_base=False, keep_bits="packed", capacity=n + 64)
+    assert b.bits is None and b.words is not None
+    np.testing.assert_array_equal(np.asarray(a.popc), np.asarray(b.popc))
+
+    queries = base[rng.integers(0, n, 6)] + \
+        rng.normal(size=(6, d)).astype(np.float32) * 0.05
+    ia, sa = a.scan_route(queries, limit=48, approx=False)
+    ib, sb = b.scan_route(queries, limit=48, approx=False)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(sa, sb)
+
+    dead = np.asarray(ia[:, 0][:3], np.int64)
+    a.mark_deleted(dead)
+    b.mark_deleted(dead)
+    ia, _ = a.scan_route(queries, limit=48, approx=False)
+    ib, _ = b.scan_route(queries, limit=48, approx=False)
+    np.testing.assert_array_equal(ia, ib)
+
+    new = rng.normal(size=(40, d)).astype(np.float32) * 4
+    np.testing.assert_array_equal(a.append_scan_rows(new),
+                                  b.append_scan_rows(new))
+    qn = new[7:9]
+    ia, sa = a.scan_route(qn, limit=48, approx=False)
+    ib, sb = b.scan_route(qn, limit=48, approx=False)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(sa, sb)
+    assert ia[0, 0] == n + 7 and ia[1, 0] == n + 8
+
+
+def test_mesh_packed_facade_and_checkpoint(tmp_path, rng):
+    """DistributedEncryptedSystem with scan_packed='on': search equality
+    with 'off', checkpoint/restore keeps the packed layout (save_state
+    writes the words directly — no bit repack)."""
+    import dataclasses
+    from fspann_tpu.ops import hamming_scan as hs
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, q, k = 900, 16, 5, 10
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    queries = base[rng.integers(0, n, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32) * 0.05
+    del hs
+
+    def mk(packed, path):
+        cfg = dataclasses.replace(_scan_cfg(d), runtime=dataclasses.replace(
+            _scan_cfg(d).runtime, scan_packed=packed)).validate()
+        s = DistributedEncryptedSystem(cfg, str(tmp_path / path), d)
+        s.build(base)
+        return s
+
+    s_off = mk("off", "off")
+    s_on = mk("on", "on")
+    try:
+        assert s_on.index.words is not None and s_on.index.bits is None
+        assert s_off.index.bits is not None and s_off.index.words is None
+        i0, d0 = s_off.search_batch(queries, k)
+        i1, d1 = s_on.search_batch(queries, k)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-6)
+
+        s_on.save_index()
+        s_on.index = None
+        assert s_on.restore_index() == n
+        assert s_on.index.words is not None and s_on.index.bits is None
+        i2, d2 = s_on.search_batch(queries, k)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    finally:
+        s_off.close()
+        s_on.close()

@@ -278,8 +278,21 @@ class QueryService:
         r_full = routed.ids.shape[1]
         pred = self._slice_pred
         if pred is not None and pred < 0.7 * r_full:
-            return routed, routed.ids[:, :pred], pred
-        return routed, routed.ids, r_full
+            ids_slice, width = routed.ids[:, :pred], pred
+        else:
+            ids_slice, width = routed.ids, r_full
+        # start the D2H copies NOW: the ranked-id slice plus the per-query
+        # counters complete their transfers while the previous batch's host
+        # AES runs, so the consume side's device_get/np.asarray hit an
+        # already-resident host literal instead of paying a synchronous
+        # round trip per array over the (high-latency) device link
+        for arr in (ids_slice, routed.n_unique, routed.n_raw, routed.n_dec):
+            if arr is not None and hasattr(arr, "copy_to_host_async"):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    break  # backend without async copy: consume path works
+        return routed, ids_slice, width
 
     def _consume_pass(self, tokens, qvecs, dispatched, k, touched_parts,
                       t_start):

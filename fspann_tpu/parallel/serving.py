@@ -204,14 +204,51 @@ class DistributedEncryptedSystem:
                      probe_shards: int | None = None
                      ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (ids int64 [Q, K] with -1 pad, distances f32 [Q, K])."""
+        return self.search_batches([queries], k, probe_shards)[0]
+
+    def search_batches(self, batches, k: int,
+                       probe_shards: int | None = None
+                       ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Pipelined mesh serving (mirrors the single-chip
+        ``QueryService.search_batches``): the mesh routing step for batch
+        i+1 is dispatched — with its D2H copies already started — before
+        batch i's host decrypt+refine consumes its results, so ICI
+        routing/collectives overlap host AES across batches."""
         if self.index is None:
             raise RuntimeError("build() before search")
+        results: list[tuple[np.ndarray, np.ndarray]] = []
+        pending = None
+        for q in list(batches) + [None]:
+            current = None
+            if q is not None:
+                q = np.asarray(q, np.float32)
+                current = (q, self._dispatch_route(q, probe_shards))
+            if pending is not None:
+                results.append(self._consume_batch(*pending, k=k,
+                                                   probe_shards=probe_shards))
+            pending = current
+        return results
+
+    def _dispatch_route(self, queries: np.ndarray,
+                        probe_shards: int | None):
+        """Stage-A dispatch: device (ids, scores) with async host copies
+        in flight; blocking conversion happens at consume time."""
         rt = self.cfg.runtime
-        queries = np.asarray(queries, np.float32)
         if rt.routing_mode == "scan":
-            cand_ids, _scores = self.index.scan_route(
+            return self.index.scan_route_dispatch(
                 queries, limit=rt.effective_refinement(),
                 probe_shards=probe_shards)
+        return self.index.route_dispatch(
+            queries, probes=rt.effective_probes(),
+            refinement_limit=rt.refinement_limit,
+            probe_shards=probe_shards, rerank_limit=rt.rerank_limit)
+
+    def _consume_batch(self, queries: np.ndarray, dispatched, k: int,
+                       probe_shards: int | None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        rt = self.cfg.runtime
+        cand_ids, _scores = (np.asarray(a) for a in dispatched)
+        if rt.routing_mode == "scan":
             if rt.adaptive_decrypt_margin > 0:
                 # adaptive per-query decrypt budget (mirrors the
                 # single-chip scan path, query/service.py): the merged
@@ -229,11 +266,6 @@ class DistributedEncryptedSystem:
                 n_dec = np.clip(n_dec, min(floor, L), L)
                 cand_ids = np.where(
                     np.arange(L)[None, :] < n_dec[:, None], cand_ids, -1)
-        else:
-            cand_ids, _scores = self.index.route(
-                queries, probes=rt.effective_probes(),
-                refinement_limit=rt.refinement_limit,
-                probe_shards=probe_shards, rerank_limit=rt.rerank_limit)
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1).astype(np.int64)
         if self._stage_buf.size < flat.size * self.dim:

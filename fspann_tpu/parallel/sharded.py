@@ -759,10 +759,22 @@ class ShardedIndex:
 
         return step
 
-    def scan_route(self, queries: np.ndarray, limit: int = 2048,
-                   probe_shards: int | None = None, approx: bool = True):
-        """Stage A via the mesh Hamming scan (needs build(keep_bits=True)
-        or the packed layout, keep_bits="packed")."""
+    @staticmethod
+    def _start_host_copy(*arrays) -> None:
+        """Begin async D2H transfers so a later ``np.asarray`` finds the
+        host literal already resident — lets a pipelined caller overlap
+        the transfer with the previous batch's host AES work."""
+        for a in arrays:
+            if hasattr(a, "copy_to_host_async"):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    return
+
+    def scan_route_dispatch(self, queries: np.ndarray, limit: int = 2048,
+                            probe_shards: int | None = None,
+                            approx: bool = True):
+        """Non-blocking stage-A dispatch (device arrays, D2H started)."""
         packed = self.words is not None
         if self.bits is None and not packed:
             raise RuntimeError("scan requires build(keep_bits=True)")
@@ -776,14 +788,22 @@ class ShardedIndex:
         ids, sc = step(self.words if packed else self.bits, self.popc,
                        self.tombs, jnp.asarray(queries, jnp.float32),
                        jnp.int32(self.n))
+        self._start_host_copy(ids, sc)
+        return ids, sc
+
+    def scan_route(self, queries: np.ndarray, limit: int = 2048,
+                   probe_shards: int | None = None, approx: bool = True):
+        """Stage A via the mesh Hamming scan (needs build(keep_bits=True)
+        or the packed layout, keep_bits="packed")."""
+        ids, sc = self.scan_route_dispatch(queries, limit, probe_shards,
+                                           approx)
         return np.asarray(ids), np.asarray(sc)
 
-    def route(self, queries: np.ndarray, probes: int = 5,
-              refinement_limit: int = 2048,
-              probe_shards: int | None = None,
-              rerank_limit: int = 0):
-        """Candidate generation across the mesh (encrypted serving stage A):
-        ranked global candidate ids [Q, R] (-1 pad) + Hamming scores."""
+    def route_dispatch(self, queries: np.ndarray, probes: int = 5,
+                       refinement_limit: int = 2048,
+                       probe_shards: int | None = None,
+                       rerank_limit: int = 0):
+        """Non-blocking probe-route dispatch (device arrays, D2H started)."""
         key = ("route", probes, refinement_limit, probe_shards, rerank_limit)
         step = self._steps.get(key)
         if step is None:
@@ -795,6 +815,17 @@ class ShardedIndex:
         if rerank_limit > 0:
             args += (self.point_codes,)
         ids, sc = step(*args)
+        self._start_host_copy(ids, sc)
+        return ids, sc
+
+    def route(self, queries: np.ndarray, probes: int = 5,
+              refinement_limit: int = 2048,
+              probe_shards: int | None = None,
+              rerank_limit: int = 0):
+        """Candidate generation across the mesh (encrypted serving stage A):
+        ranked global candidate ids [Q, R] (-1 pad) + Hamming scores."""
+        ids, sc = self.route_dispatch(queries, probes, refinement_limit,
+                                      probe_shards, rerank_limit)
         return np.asarray(ids), np.asarray(sc)
 
     def query(self, queries: np.ndarray, probes: int = 5,

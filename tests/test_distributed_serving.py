@@ -810,3 +810,40 @@ def test_mesh_packed_facade_and_checkpoint(tmp_path, rng):
     finally:
         s_off.close()
         s_on.close()
+
+
+def test_mesh_search_batches_pipelined_matches_sequential(tmp_path, rng):
+    """The pipelined mesh serving loop (dispatch batch i+1 before batch i's
+    host consume, async D2H in flight) is result-identical to per-batch
+    search_batch calls, in both scan and probe routing modes."""
+    from fspann_tpu.config import SystemConfig, PaperConfig, RuntimeConfig
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+
+    n, d, k = 1536, 16, 8
+    base = rng.normal(size=(n, d)).astype(np.float32) * 3
+    batches = [base[rng.integers(0, n, 5)] +
+               rng.normal(size=(5, d)).astype(np.float32) * 0.05
+               for _ in range(3)]
+
+    for mode, extra in (("scan", dict(adaptive_decrypt_margin=6,
+                                      adaptive_decrypt_anchor=8,
+                                      adaptive_decrypt_floor=32)),
+                        ("probe", {})):
+        cfg = SystemConfig(
+            paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+            runtime=RuntimeConfig(refinement_limit=256,
+                                  max_global_candidates=256,
+                                  default_probes=4, block_size=32,
+                                  routing_mode=mode, **extra)).validate()
+        sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / f"db_{mode}"),
+                                          d)
+        try:
+            sys_.build(base)
+            seq = [sys_.search_batch(q, k) for q in batches]
+            piped = sys_.search_batches(batches, k)
+            assert len(piped) == len(seq)
+            for (i1, d1), (i2, d2) in zip(seq, piped):
+                np.testing.assert_array_equal(i1, i2)
+                np.testing.assert_allclose(d1, d2, rtol=1e-6)
+        finally:
+            sys_.close()

@@ -67,6 +67,11 @@ def _load() -> ctypes.CDLL:
             i64p, u32, u32, u8p, u64p, u8p, f32p, ctypes.c_int,
             ctypes.c_int]
         lib.fspann_gcm_open_batch_rec_id.restype = ctypes.c_int
+        lib.fspann_gcm_open_batch_rec_id_scored.argtypes = [
+            vp, sz, u8p, u64p, u32, u32, u32, ctypes.c_uint64,
+            i64p, u32, u32, u8p, u64p, u8p, f32p, f32p,
+            ctypes.c_uint64, f32p, ctypes.c_int, ctypes.c_int]
+        lib.fspann_gcm_open_batch_rec_id_scored.restype = ctypes.c_int
         lib.fspann_crc32_rows.argtypes = [u8p, sz, sz, u32p]
         _LIB = lib
         return lib
@@ -155,6 +160,46 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
         key_version, dim,
         _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok),
         norms_ptr, _num_threads(), 1 if payload_f16 else 0)
+    return ok
+
+
+def open_batch_records_scored(key: "GcmKey", base: np.ndarray,
+                              rec_off: np.ndarray,
+                              iv_rel: int, ct_rel: int, tag_rel: int,
+                              ct_len: int, ids: np.ndarray, key_version: int,
+                              dim: int, pt_off: np.ndarray,
+                              norms: np.ndarray, dots: np.ndarray,
+                              qvecs: np.ndarray, rows_per_query: int,
+                              payload_f16: bool = False) -> np.ndarray:
+    """Fused decrypt-and-score: like :func:`open_batch_records_by_id` but the
+    plaintext NEVER reaches DRAM — each record is decrypted into an
+    L1-resident scratch row, and its squared L2 norm plus the dot product
+    against ``qvecs[(pt_off[i]/row_stride) // rows_per_query]`` are written
+    to ``norms``/``dots`` (f32, indexed by output row).  The refine stage
+    needs only ``d2 = norms - 2*dots + |q|^2``, so BOTH candidate-matrix
+    passes of the unfused path (staging write + score re-read) disappear —
+    the dominant serving cost on a memory-bandwidth-bound host.
+
+    ``qvecs`` must be C-contiguous f32 [n_queries, dim]."""
+    lib = _load()
+    n = len(rec_off)
+    ok = np.empty(n, np.uint8)
+    ids = np.ascontiguousarray(ids, np.int64)
+    qvecs = np.ascontiguousarray(qvecs, np.float32)
+    assert qvecs.shape[1] == dim and norms.dtype == np.float32 \
+        and dots.dtype == np.float32
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.fspann_gcm_open_batch_rec_id_scored(
+        key.ctx, n,
+        _u8(base), _u64(np.ascontiguousarray(rec_off, np.uint64)),
+        iv_rel, ct_rel, tag_rel, ct_len,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        key_version, dim,
+        None, _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok),
+        norms.ctypes.data_as(f32p),
+        qvecs.ctypes.data_as(f32p), rows_per_query,
+        dots.ctypes.data_as(f32p),
+        _num_threads(), 1 if payload_f16 else 0)
     return ok
 
 

@@ -539,22 +539,41 @@ static int open_batch_rec_id_range(const void *ctx,
                                     * included — replaces the two full numpy
                                     * passes (convert + re-read for norms)
                                     * the Python f16 path needed. */
-                                   int payload_f16) {
+                                   int payload_f16,
+                                   /* fused query scoring: when qvecs is
+                                    * non-NULL, also write dots[row] =
+                                    * <decrypted f32 row, qvecs[row /
+                                    * rows_per_query]> (row = pt_off[i] /
+                                    * row_stride) while the plaintext is in
+                                    * L1.  With pt == NULL the plaintext is
+                                    * decrypted into a thread-local scratch
+                                    * row and NEVER written to DRAM — the
+                                    * refine stage then needs only (dots,
+                                    * norms), eliminating both the staging
+                                    * write and the candidate-matrix re-read
+                                    * on the DRAM-bandwidth-bound host. */
+                                   const float *qvecs,
+                                   uint64_t rows_per_query, float *dots) {
     int failures = 0;
     uint8_t aad[32];
-    uint8_t scratch_stack[4096];
+    uint8_t scratch_stack[8192];
     uint8_t *scratch = NULL;
-    if (payload_f16)
-        scratch = (ct_len <= sizeof(scratch_stack))
-            ? scratch_stack : (uint8_t *)malloc(ct_len);
+    const int score_only = (pt == NULL);
+    /* scratch layout: [ct_len decrypt row | 2*ct_len widened row (f16)] */
+    size_t scratch_need = (payload_f16 ? (score_only ? 3 : 1) * ct_len
+                                       : (score_only ? ct_len : 0));
+    if (scratch_need)
+        scratch = (scratch_need <= sizeof(scratch_stack))
+            ? scratch_stack : (uint8_t *)malloc(scratch_need);
     const uint64_t row_stride = payload_f16 ? ct_len * 2 : ct_len;
-    if (payload_f16 && scratch == NULL) {
+    if (scratch_need && scratch == NULL) {
         /* allocation failure: fail the whole range cleanly (ok=0, zeroed
          * plaintext + norms) instead of dereferencing NULL below */
         for (size_t i = lo; i < hi; i++) {
-            memset(pt + pt_off[i], 0, row_stride);
+            if (pt) memset(pt + pt_off[i], 0, row_stride);
             ok[i] = 0;
             if (norms) norms[pt_off[i] / row_stride] = 0.f;
+            if (dots) dots[pt_off[i] / row_stride] = 0.f;
         }
         return (int)(hi - lo);
     }
@@ -574,25 +593,31 @@ static int open_batch_rec_id_range(const void *ctx,
                 __builtin_prefetch(nxt + o, 0, 1);
         }
         const uint8_t *rec = base + rec_off[i];
+        const uint64_t row = pt_off[i] / row_stride;
+        const float *qv = qvecs ? qvecs + (row / rows_per_query)
+                                      * (row_stride / 4) : NULL;
         fspann_format_aad(aad, (uint64_t)ids[i], key_version, dim);
-        uint8_t *dst = payload_f16 ? scratch : pt + pt_off[i];
+        uint8_t *dst = (payload_f16 || score_only) ? scratch
+                                                   : pt + pt_off[i];
         int rc = fspann_gcm_open(ctx, rec + iv_rel, aad, 32,
                                  rec + ct_rel, ct_len,
                                  rec + tag_rel, dst);
         ok[i] = (uint8_t)(rc == 0);
         if (rc != 0) {
             /* keep every output buffer fully defined: zero the row AND its
-             * norms slot (callers mask by ok, but a reused norms staging
+             * norms/dots slots (callers mask by ok, but a reused staging
              * buffer must never leak a previous batch's values) */
-            memset(pt + pt_off[i], 0, row_stride);
-            if (norms) norms[pt_off[i] / row_stride] = 0.f;
+            if (pt) memset(pt + pt_off[i], 0, row_stride);
+            if (norms) norms[row] = 0.f;
+            if (dots) dots[row] = 0.f;
             failures++;
             continue;
         }
         if (payload_f16) {
             /* widen f16 -> f32 while the row is in L1, norms fused */
             const uint16_t *h = (const uint16_t *)scratch;
-            float *o = (float *)(pt + pt_off[i]);
+            float *o = score_only ? (float *)(scratch + ct_len)
+                                  : (float *)(pt + pt_off[i]);
             size_t nd = ct_len / 2, j = 0;
             float acc = 0.f;
 #if defined(__F16C__)
@@ -634,20 +659,54 @@ static int open_batch_rec_id_range(const void *ctx,
                 o[j] = f;
                 acc += f * f;
             }
-            if (norms) norms[pt_off[i] / row_stride] = acc;
-        } else if (norms) {
-            const float *v = (const float *)(pt + pt_off[i]);
+            if (norms) norms[row] = acc;
+            if (qv) {
+                /* query dot over the widened row while it is in L1 */
+                size_t ndw = ct_len / 2;
+                float d0 = 0.f, d1 = 0.f, d2 = 0.f, d3 = 0.f;
+                size_t t = 0;
+                for (; t + 4 <= ndw; t += 4) {
+                    d0 += o[t] * qv[t];
+                    d1 += o[t + 1] * qv[t + 1];
+                    d2 += o[t + 2] * qv[t + 2];
+                    d3 += o[t + 3] * qv[t + 3];
+                }
+                for (; t < ndw; t++) d0 += o[t] * qv[t];
+                dots[row] = d0 + d1 + d2 + d3;
+            }
+        } else if (norms || qv) {
+            const float *v = (const float *)dst;
             size_t nd = ct_len / 4;
             float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+            float d0 = 0.f, d1 = 0.f, d2 = 0.f, d3 = 0.f;
             size_t j = 0;
-            for (; j + 4 <= nd; j += 4) {
-                acc0 += v[j] * v[j];
-                acc1 += v[j + 1] * v[j + 1];
-                acc2 += v[j + 2] * v[j + 2];
-                acc3 += v[j + 3] * v[j + 3];
+            if (qv) {
+                /* one L1-resident pass: norm + query dot fused */
+                for (; j + 4 <= nd; j += 4) {
+                    acc0 += v[j] * v[j];
+                    acc1 += v[j + 1] * v[j + 1];
+                    acc2 += v[j + 2] * v[j + 2];
+                    acc3 += v[j + 3] * v[j + 3];
+                    d0 += v[j] * qv[j];
+                    d1 += v[j + 1] * qv[j + 1];
+                    d2 += v[j + 2] * qv[j + 2];
+                    d3 += v[j + 3] * qv[j + 3];
+                }
+                for (; j < nd; j++) {
+                    acc0 += v[j] * v[j];
+                    d0 += v[j] * qv[j];
+                }
+                dots[row] = d0 + d1 + d2 + d3;
+            } else {
+                for (; j + 4 <= nd; j += 4) {
+                    acc0 += v[j] * v[j];
+                    acc1 += v[j + 1] * v[j + 1];
+                    acc2 += v[j + 2] * v[j + 2];
+                    acc3 += v[j + 3] * v[j + 3];
+                }
+                for (; j < nd; j++) acc0 += v[j] * v[j];
             }
-            for (; j < nd; j++) acc0 += v[j] * v[j];
-            norms[pt_off[i] / ct_len] = acc0 + acc1 + acc2 + acc3;
+            if (norms) norms[row] = acc0 + acc1 + acc2 + acc3;
         }
     }
     if (scratch && scratch != scratch_stack) free(scratch);
@@ -670,6 +729,9 @@ typedef struct {
     uint8_t *ok;
     float *norms;
     int payload_f16;
+    const float *qvecs;
+    uint64_t rows_per_query;
+    float *dots;
     int failures;
 } open_task;
 
@@ -678,7 +740,8 @@ static void *open_worker(void *p) {
     t->failures = open_batch_rec_id_range(
         t->ctx, t->lo, t->hi, t->base, t->rec_off, t->iv_rel, t->ct_rel,
         t->tag_rel, t->ct_len, t->ids, t->key_version, t->dim, t->pt,
-        t->pt_off, t->ok, t->norms, t->payload_f16);
+        t->pt_off, t->ok, t->norms, t->payload_f16, t->qvecs,
+        t->rows_per_query, t->dots);
     return NULL;
 }
 
@@ -688,20 +751,23 @@ static void *open_worker(void *p) {
  * decrypt stage is the serving bottleneck and scales linearly with cores —
  * nthreads <= 1 keeps the single-threaded path (this build host has one
  * core; production hosts set FSPANN_THREADS). */
-int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
-                                 const uint8_t *base, const uint64_t *rec_off,
-                                 uint32_t iv_rel, uint32_t ct_rel,
-                                 uint32_t tag_rel, uint64_t ct_len,
-                                 const int64_t *ids, uint32_t key_version,
-                                 uint32_t dim,
-                                 uint8_t *pt, const uint64_t *pt_off,
-                                 uint8_t *ok, float *norms, int nthreads,
-                                 int payload_f16) {
+static int open_batch_rec_id_impl(const void *ctx, size_t n,
+                                  const uint8_t *base,
+                                  const uint64_t *rec_off,
+                                  uint32_t iv_rel, uint32_t ct_rel,
+                                  uint32_t tag_rel, uint64_t ct_len,
+                                  const int64_t *ids, uint32_t key_version,
+                                  uint32_t dim,
+                                  uint8_t *pt, const uint64_t *pt_off,
+                                  uint8_t *ok, float *norms, int nthreads,
+                                  int payload_f16, const float *qvecs,
+                                  uint64_t rows_per_query, float *dots) {
     if (nthreads <= 1 || n < 1024) {
         return open_batch_rec_id_range(ctx, 0, n, base, rec_off, iv_rel,
                                        ct_rel, tag_rel, ct_len, ids,
                                        key_version, dim, pt, pt_off, ok,
-                                       norms, payload_f16);
+                                       norms, payload_f16, qvecs,
+                                       rows_per_query, dots);
     }
     enum { MAX_THREADS = 64 };
     if (nthreads > MAX_THREADS) nthreads = MAX_THREADS;
@@ -715,13 +781,15 @@ int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
         size_t hi = lo + per < n ? lo + per : n;
         open_task task = {ctx, lo, hi, base, rec_off, iv_rel, ct_rel,
                           tag_rel, ct_len, ids, key_version, dim, pt,
-                          pt_off, ok, norms, payload_f16, 0};
+                          pt_off, ok, norms, payload_f16, qvecs,
+                          rows_per_query, dots, 0};
         tasks[t] = task;
         if (t == nthreads - 1 || hi == n) {
             /* run the last slice on the calling thread */
             tasks[t].failures = open_batch_rec_id_range(
                 ctx, lo, hi, base, rec_off, iv_rel, ct_rel, tag_rel, ct_len,
-                ids, key_version, dim, pt, pt_off, ok, norms, payload_f16);
+                ids, key_version, dim, pt, pt_off, ok, norms, payload_f16,
+                qvecs, rows_per_query, dots);
             spawned = t;
             break;
         }
@@ -733,6 +801,43 @@ int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
         failures += tasks[t].failures;
     }
     return failures;
+}
+
+int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
+                                 const uint8_t *base, const uint64_t *rec_off,
+                                 uint32_t iv_rel, uint32_t ct_rel,
+                                 uint32_t tag_rel, uint64_t ct_len,
+                                 const int64_t *ids, uint32_t key_version,
+                                 uint32_t dim,
+                                 uint8_t *pt, const uint64_t *pt_off,
+                                 uint8_t *ok, float *norms, int nthreads,
+                                 int payload_f16) {
+    return open_batch_rec_id_impl(ctx, n, base, rec_off, iv_rel, ct_rel,
+                                  tag_rel, ct_len, ids, key_version, dim,
+                                  pt, pt_off, ok, norms, nthreads,
+                                  payload_f16, NULL, 1, NULL);
+}
+
+/* Fused decrypt-and-score (the serving stage-B hot path): per record,
+ * verify+decrypt, then compute the squared L2 norm AND the dot product
+ * against the record's query vector while the plaintext is in L1.  With
+ * pt == NULL the plaintext never touches DRAM at all — the refine stage
+ * works from (dots, norms) alone: d2 = |c|^2 - 2<c,q> + |q|^2.  Removes
+ * BOTH full passes over the candidate matrix (staging write + einsum
+ * re-read) that the unfused path pays on a bandwidth-bound host. */
+int fspann_gcm_open_batch_rec_id_scored(
+        const void *ctx, size_t n, const uint8_t *base,
+        const uint64_t *rec_off, uint32_t iv_rel, uint32_t ct_rel,
+        uint32_t tag_rel, uint64_t ct_len, const int64_t *ids,
+        uint32_t key_version, uint32_t dim, uint8_t *pt,
+        const uint64_t *pt_off, uint8_t *ok, float *norms,
+        const float *qvecs, uint64_t rows_per_query, float *dots,
+        int nthreads, int payload_f16) {
+    return open_batch_rec_id_impl(ctx, n, base, rec_off, iv_rel, ct_rel,
+                                  tag_rel, ct_len, ids, key_version, dim,
+                                  pt, pt_off, ok, norms, nthreads,
+                                  payload_f16, qvecs,
+                                  rows_per_query ? rows_per_query : 1, dots);
 }
 
 /* Fused re-encrypt: open under ctx_old, seal under ctx_new with fresh IVs;

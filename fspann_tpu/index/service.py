@@ -355,6 +355,9 @@ class PartitionedIndex:
             # budget L; the adaptive-retry pass widens it).  When the
             # [Q, N] rank scratch outgrows the device budget, switch to
             # the chunked running-top-L variant.
+            # np.asarray is free when the caller passed host codes (the
+            # query service does — avoids a D2H round trip per batch);
+            # device-held codes (device encode backend) still work
             qbits = jnp.asarray(hamming_scan.unpack_bits_numpy(
                 np.asarray(qcodes), self.cfg.paper.code_bits))
             scan_l = min(refinement_limit or rt.effective_refinement(),

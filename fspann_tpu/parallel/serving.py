@@ -27,7 +27,7 @@ import numpy as np
 from ..config import SystemConfig
 from ..crypto.keys import KeyManager
 from ..ops import coding
-from ..query.service import _host_refine
+from ..query.service import _host_refine_scored
 from ..store.sharded_store import ShardedPointStore
 from .sharded import ShardedIndex, make_mesh, resolve_scan_layout
 
@@ -71,8 +71,8 @@ class DistributedEncryptedSystem:
         # reusable decrypt staging (grown on demand) — same fusion as the
         # single-chip QueryService: no candidate-set-sized calloc per batch,
         # norms computed inside the C open loop
-        self._stage_buf = np.zeros(0, np.float32)
         self._norms_buf = np.zeros(0, np.float32)
+        self._dots_buf = np.zeros(0, np.float32)
 
     # -- build -----------------------------------------------------------------
 
@@ -268,18 +268,21 @@ class DistributedEncryptedSystem:
                     np.arange(L)[None, :] < n_dec[:, None], cand_ids, -1)
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1).astype(np.int64)
-        if self._stage_buf.size < flat.size * self.dim:
-            self._stage_buf = np.zeros(flat.size * self.dim, np.float32)
+        # fused decrypt-and-score (mirrors query/service.py): each shard's
+        # C AES loop emits (norm, query-dot) while the row is in L1 — no
+        # candidate matrix is ever materialized on the host
+        if self._norms_buf.size < flat.size:
             self._norms_buf = np.zeros(flat.size, np.float32)
-        out = self._stage_buf[:flat.size * self.dim].reshape(flat.size,
-                                                            self.dim)
+        if self._dots_buf.size < flat.size:
+            self._dots_buf = np.zeros(flat.size, np.float32)
         norms = self._norms_buf[:flat.size]
-        vecs, ok = self.store.load_decrypt_batch(flat,
-                                                 probe_shards=probe_shards,
-                                                 out=out, norms_out=norms)
-        return _host_refine(queries, vecs.reshape(q, r, self.dim),
-                            cand_ids.astype(np.int64), ok.reshape(q, r),
-                            k, c2=norms.reshape(q, r))[:2]
+        dots = self._dots_buf[:flat.size]
+        ok = self.store.load_score_batch(flat, queries, r, norms, dots,
+                                         probe_shards=probe_shards)
+        return _host_refine_scored(queries, dots.reshape(q, r),
+                                   norms.reshape(q, r),
+                                   cand_ids.astype(np.int64),
+                                   ok.reshape(q, r), k)[:2]
 
     # -- deletion ------------------------------------------------------------------
 

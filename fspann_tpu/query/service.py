@@ -33,20 +33,10 @@ from ..store.point_store import PointStore
 from ..types import QueryResult, QueryToken, SearchStats
 
 
-def _host_refine(qvecs: np.ndarray, cand_vecs: np.ndarray,
-                 cand_ids: np.ndarray, valid: np.ndarray, k: int,
-                 c2: np.ndarray | None = None):
-    """Stage C on the host: exact L2 + top-k via BLAS, same semantics as the
-    device refine kernel but no device transfer of candidate vectors.
-    ``c2`` (f32 [q, r]) supplies precomputed squared candidate norms (the
-    decrypt stage emits them from L1) — skips a full re-read pass."""
-    q, r, d = cand_vecs.shape
-    dots = np.einsum("qrd,qd->qr", cand_vecs, qvecs, optimize=True)
-    if c2 is None:
-        cv = cand_vecs.reshape(q * r, d)
-        c2 = np.einsum("ij,ij->i", cv, cv).reshape(q, r)
-    q2 = np.einsum("ij,ij->i", qvecs, qvecs)
-    d2 = c2 - 2.0 * dots + q2[:, None]
+def _topk_from_d2(d2: np.ndarray, cand_ids: np.ndarray, valid: np.ndarray,
+                  k: int):
+    """Shared stage-C tail: top-k by squared distance (invalid = inf)."""
+    q, r = d2.shape
     d2 = np.where(valid, np.maximum(d2, 0.0), np.inf)
     kk = min(k, r)
     part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
@@ -63,6 +53,34 @@ def _host_refine(qvecs: np.ndarray, cand_vecs: np.ndarray,
         dists = np.pad(dists, ((0, 0), (0, k - kk)),
                        constant_values=np.inf)
     return ids.astype(np.int64), dists.astype(np.float32), n_scored
+
+
+def _host_refine(qvecs: np.ndarray, cand_vecs: np.ndarray,
+                 cand_ids: np.ndarray, valid: np.ndarray, k: int,
+                 c2: np.ndarray | None = None):
+    """Stage C on the host: exact L2 + top-k via BLAS, same semantics as the
+    device refine kernel but no device transfer of candidate vectors.
+    ``c2`` (f32 [q, r]) supplies precomputed squared candidate norms (the
+    decrypt stage emits them from L1) — skips a full re-read pass."""
+    q, r, d = cand_vecs.shape
+    dots = np.einsum("qrd,qd->qr", cand_vecs, qvecs, optimize=True)
+    if c2 is None:
+        cv = cand_vecs.reshape(q * r, d)
+        c2 = np.einsum("ij,ij->i", cv, cv).reshape(q, r)
+    q2 = np.einsum("ij,ij->i", qvecs, qvecs)
+    d2 = c2 - 2.0 * dots + q2[:, None]
+    return _topk_from_d2(d2, cand_ids, valid, k)
+
+
+def _host_refine_scored(qvecs: np.ndarray, dots: np.ndarray, c2: np.ndarray,
+                        cand_ids: np.ndarray, valid: np.ndarray, k: int):
+    """Stage C from the FUSED decrypt-and-score outputs alone: the C AES
+    loop emitted per-candidate norms and query dots while each plaintext
+    row was in L1, so exact L2 needs no candidate matrix at all —
+    d2 = |c|^2 - 2<c,q> + |q|^2 over [q, r] f32 scalars."""
+    q2 = np.einsum("ij,ij->i", qvecs, qvecs)
+    d2 = c2 - 2.0 * dots + q2[:, None]
+    return _topk_from_d2(d2, cand_ids, valid, k)
 
 
 @dataclass
@@ -102,6 +120,7 @@ class QueryService:
         # `ok`, never read stale
         self._stage_buf = np.zeros(0, np.float32)
         self._norms_buf = np.zeros(0, np.float32)
+        self._dots_buf = np.zeros(0, np.float32)
 
     # -- public ------------------------------------------------------------------
 
@@ -272,8 +291,12 @@ class QueryService:
         executes on the device during pipeline overlap, so the consume side
         pays one transfer of mostly-live ids instead of a counters round
         trip + serial slice dispatch + full-width pad transfer."""
-        qc = jnp.asarray(np.stack([t.codes for t in tokens]))
-        qk = jnp.asarray(np.stack([t.keys for t in tokens]))
+        # host-side stack, NOT device_put: tokens carry numpy codes, and the
+        # scan path unpacks them on host anyway — uploading here cost an
+        # H2D + D2H + H2D ping-pong per batch over the device link
+        # (measured 0.58 ms/q of pure dispatch overhead at batch 64)
+        qc = np.stack([t.codes for t in tokens])
+        qk = np.stack([t.keys for t in tokens])
         routed = self.index.route_batch(qc, qk, probes, limit)
         r_full = routed.ids.shape[1]
         pred = self._slice_pred
@@ -328,33 +351,46 @@ class QueryService:
         q, r = cand_ids.shape
         flat = cand_ids.reshape(-1)
         dim = self.index.dim
-        if self._stage_buf.size < flat.size * dim:
-            self._stage_buf = np.zeros(flat.size * dim, np.float32)
-            self._norms_buf = np.zeros(flat.size, np.float32)
-        out = self._stage_buf[:flat.size * dim].reshape(flat.size, dim)
-        norms = self._norms_buf[:flat.size]
-        vecs_flat, ok_flat = self.store.load_decrypt_batch(flat, out=out,
-                                                           norms_out=norms)
-        cand_vecs = vecs_flat.reshape(q, r, dim)
-        valid = ok_flat.reshape(q, r)
-        if touched_parts is not None:
-            touched_parts.append(flat[ok_flat])
-        t2 = time.perf_counter()
-
         if self.cfg.runtime.refine_backend == "device":
+            if self._stage_buf.size < flat.size * dim:
+                self._stage_buf = np.zeros(flat.size * dim, np.float32)
+            if self._norms_buf.size < flat.size:
+                self._norms_buf = np.zeros(flat.size, np.float32)
+            out = self._stage_buf[:flat.size * dim].reshape(flat.size, dim)
+            norms = self._norms_buf[:flat.size]
+            vecs_flat, ok_flat = self.store.load_decrypt_batch(
+                flat, out=out, norms_out=norms)
+            valid = ok_flat.reshape(q, r)
+            if touched_parts is not None:
+                touched_parts.append(flat[ok_flat])
+            t2 = time.perf_counter()
             res = refine_ops.refine(jnp.asarray(qvecs),
-                                    jnp.asarray(cand_vecs),
+                                    jnp.asarray(vecs_flat.reshape(q, r,
+                                                                  dim)),
                                     jnp.asarray(cand_ids, jnp.int32),
                                     jnp.asarray(valid), k)
             ids = np.array(res.ids, np.int64)    # copy: retry pass mutates
             dists = np.array(res.distances, np.float32)
             n_scored = np.asarray(res.n_scored)
         else:
-            # c2 comes fused from the decrypt loop for BOTH payload dtypes
-            # (the C kernel widens f16 in-loop and accumulates norms there)
-            c2 = norms.reshape(q, r)
-            ids, dists, n_scored = _host_refine(qvecs, cand_vecs, cand_ids,
-                                                valid, k, c2=c2)
+            # fused decrypt-and-score: the C AES loop emits per-candidate
+            # (norm, query-dot) while each row is in L1 — the plaintext
+            # never reaches DRAM, and no candidate matrix exists to re-read
+            if self._norms_buf.size < flat.size:
+                self._norms_buf = np.zeros(flat.size, np.float32)
+            if self._dots_buf.size < flat.size:
+                self._dots_buf = np.zeros(flat.size, np.float32)
+            norms = self._norms_buf[:flat.size]
+            dots = self._dots_buf[:flat.size]
+            ok_flat = self.store.load_score_batch(flat, qvecs, r,
+                                                  norms, dots)
+            valid = ok_flat.reshape(q, r)
+            if touched_parts is not None:
+                touched_parts.append(flat[ok_flat])
+            t2 = time.perf_counter()
+            ids, dists, n_scored = _host_refine_scored(
+                qvecs, dots.reshape(q, r), norms.reshape(q, r),
+                cand_ids, valid, k)
         t3 = time.perf_counter()
 
         stats = []

@@ -323,6 +323,76 @@ class PointStore:
             ok[sel] = ok_v.astype(bool)
         return vecs, ok
 
+    @_locked
+    def load_score_batch(self, ids: np.ndarray, qvecs: np.ndarray,
+                         rows_per_query: int, norms_out: np.ndarray,
+                         dots_out: np.ndarray,
+                         rows: np.ndarray | None = None) -> np.ndarray:
+        """Fused decrypt-and-score (serving stage B fast path): decrypt each
+        candidate into an L1 scratch row and emit only its squared L2 norm
+        and its dot product against ``qvecs[i // rows_per_query]`` — the
+        plaintext never touches DRAM, removing both full candidate-matrix
+        passes (staging write + score re-read) of
+        :meth:`load_decrypt_batch` + einsum.  Returns ok bool [n]; slots
+        with ok=False hold zeros in ``norms_out``/``dots_out``.
+
+        ``rows`` (int [n]) scatters result i's norm/dot to slot ``rows[i]``
+        instead of ``i`` — the query-row mapping uses the SCATTERED slot
+        (query = rows[i] // rows_per_query), so a sharded store fans its
+        shards' subsets into one caller-owned (norms, dots) pair exactly
+        like :meth:`load_decrypt_batch`'s scattered staging.
+
+        Same metadata/version/bounds handling as :meth:`load_decrypt_batch`
+        (one mmap'd arena + ONE C call per live key version, AADs
+        synthesized in-loop — reference QueryServiceImpl.java:250-251)."""
+        ids = np.asarray(ids, np.int64)
+        n = len(ids)
+        ok = np.zeros(n, bool)
+        if rows is not None:
+            rows = np.asarray(rows, np.int64)
+            if len(rows) != n:
+                raise ValueError("rows/ids length mismatch")
+        if norms_out.dtype != np.float32 or dots_out.dtype != np.float32:
+            raise ValueError("norms_out/dots_out must be f32")
+        need = (int(rows.max(initial=-1)) + 1) if rows is not None else n
+        if len(norms_out) < need or len(dots_out) < need:
+            raise ValueError("norms_out/dots_out too short")
+
+        kv_all, off_all = self.meta.lookup_batch(ids)
+        present = kv_all > 0
+        versions = np.unique(kv_all[present]) if present.any() else []
+        body = self.itemsize * self.dim
+        iv_rel, ct_rel = 20, 32
+        tag_rel = 32 + body
+        out_body = 4 * self.dim
+        for kv in versions:
+            sel = np.flatnonzero(kv_all == kv)
+            sel = sel[np.argsort(off_all[sel], kind="stable")]
+            reader = self._reader(int(kv))
+            offs = off_all[sel]
+            inb = (offs >= 0) & (offs + (tag_rel + TAG_LEN) <= reader.size)
+            sel = sel[inb]
+            if not len(sel):
+                continue
+            dest = rows[sel] if rows is not None else sel
+            ok_v = aesgcm.open_batch_records_scored(
+                self.km.gcm_for(int(kv)),
+                reader._buf, off_all[sel].astype(np.uint64),
+                iv_rel, ct_rel, tag_rel, body,
+                ids[sel], int(kv), self.dim,
+                (dest * out_body).astype(np.uint64),
+                norms_out, dots_out, qvecs, rows_per_query,
+                payload_f16=self.dtype == "f16")
+            ok[sel] = ok_v.astype(bool)
+        # absent/pad/tombstoned slots never reach the C loop: zero them here
+        # so reused staging buffers cannot leak a previous batch's values
+        miss = np.flatnonzero(~ok)
+        if len(miss):
+            slots = rows[miss] if rows is not None else miss
+            norms_out[slots] = 0.0
+            dots_out[slots] = 0.0
+        return ok
+
     def key_version_of(self, pid: int) -> int | None:
         m = self.meta.get(int(pid))
         return None if m is None else m.key_version

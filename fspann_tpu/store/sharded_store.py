@@ -154,6 +154,50 @@ class ShardedPointStore:
                 run(item)
         return out, ok
 
+    def load_score_batch(self, ids, qvecs: np.ndarray, rows_per_query: int,
+                         norms_out: np.ndarray, dots_out: np.ndarray,
+                         probe_shards: int | None = None) -> np.ndarray:
+        """Fused decrypt-and-score across shards (mirrors the single-chip
+        fast path): each shard's C AES loop emits (norm, query-dot) pairs
+        scattered straight into the shared f32 staging — the candidate
+        plaintext never reaches DRAM on ANY shard.  Query mapping rides the
+        scattered slot (slot // rows_per_query), so the fan-out is
+        transparent; unprobed/pad slots come back ok=False with zeroed
+        slots."""
+        ids = np.asarray(ids, np.int64)
+        n = len(ids)
+        ok = np.zeros(n, bool)
+        shard = self.shard_of(np.maximum(ids, 0))
+        limit = self.num_shards if probe_shards is None \
+            else max(0, min(probe_shards, self.num_shards))
+        covered = np.zeros(n, bool)
+        work = []
+        for s in range(limit):
+            sel = np.flatnonzero((shard == s) & (ids >= 0))
+            if len(sel):
+                work.append((s, sel))
+                covered[sel] = True
+
+        def run(item):
+            s, sel = item
+            o = self.shards[s].load_score_batch(
+                ids[sel], qvecs, rows_per_query, norms_out, dots_out,
+                rows=sel)
+            ok[sel] = o   # disjoint indices per shard — race-free
+
+        workers = _shard_workers(self.num_shards)
+        if len(work) > 1 and workers > 1:
+            with ThreadPoolExecutor(min(workers, len(work))) as pool:
+                list(pool.map(run, work))
+        else:
+            for item in work:
+                run(item)
+        stray = np.flatnonzero(~covered)
+        if len(stray):   # pads + unprobed shards: defined, zeroed slots
+            norms_out[stray] = 0.0
+            dots_out[stray] = 0.0
+        return ok
+
     def delete(self, ids) -> None:
         ids = np.atleast_1d(np.asarray(ids, np.int64))
         shard = self.shard_of(ids)

@@ -693,13 +693,13 @@ def test_mesh_adaptive_decrypt_budget(tmp_path, rng):
     sys_ = DistributedEncryptedSystem(cfg, str(tmp_path / "adapt"), d)
 
     decrypted = []
-    orig = sys_.store.load_decrypt_batch
+    orig = sys_.store.load_score_batch   # the fused stage-B entry point
 
-    def counting(flat, **kw):
+    def counting(flat, *a, **kw):
         decrypted.append(int((np.asarray(flat) >= 0).sum()))
-        return orig(flat, **kw)
+        return orig(flat, *a, **kw)
 
-    sys_.store.load_decrypt_batch = counting
+    sys_.store.load_score_batch = counting
 
     def with_margin(margin):
         sys_.cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(

@@ -45,3 +45,24 @@ def test_bruteforce_topk(rng):
         # ids may differ on exact ties; distances must match
         np.testing.assert_allclose(np.sqrt(d2[ids[qi]]), np.sqrt(d2[order]),
                                    rtol=1e-4)
+
+
+def test_host_refine_scored_matches_unfused_oracle(rng):
+    """_host_refine_scored (stage C from fused C-loop norms+dots) must equal
+    the vector-based _host_refine oracle bit-for-bit when fed consistent
+    inputs."""
+    from fspann_tpu.query.service import _host_refine, _host_refine_scored
+    import numpy as np
+
+    q, r, d, k = 5, 64, 16, 10
+    qvecs = rng.normal(size=(q, d)).astype(np.float32)
+    cand = rng.normal(size=(q, r, d)).astype(np.float32)
+    ids = rng.integers(0, 1000, size=(q, r)).astype(np.int64)
+    valid = rng.random(size=(q, r)) > 0.2
+    dots = np.einsum("qrd,qd->qr", cand, qvecs).astype(np.float32)
+    c2 = np.einsum("qrd,qrd->qr", cand, cand).astype(np.float32)
+    i1, d1, n1 = _host_refine(qvecs, cand, ids, valid, k, c2=c2)
+    i2, d2, n2 = _host_refine_scored(qvecs, dots, c2, ids, valid, k)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    np.testing.assert_array_equal(n1, n2)

@@ -282,3 +282,59 @@ def test_duplicate_ids_in_one_batch_do_not_inflate_counts(tmp_path):
     log2 = MetadataLog(str(tmp_path / "m.log"))
     assert log2.count_with_version(1) == 0
     log2.close()
+
+
+def test_load_score_batch_matches_unfused(store, rng):
+    """Fused decrypt-and-score (plaintext never leaves L1) must reproduce
+    the unfused path's norms and einsum dots exactly — mixed key versions,
+    pads, and missing ids included."""
+    v1 = rng.normal(size=(20, 8)).astype(np.float32)
+    store.insert_batch(np.arange(20), v1)
+    store.km.rotate()
+    v2 = rng.normal(size=(20, 8)).astype(np.float32)
+    store.insert_batch(np.arange(20, 40), v2)
+    store.delete([7])
+
+    # 3 queries x 4 rows/query, with pads and a missing id
+    flat = np.array([0, 25, 7, -1,      # q0: one tombstoned, one pad
+                     39, 1, 1000, 2,    # q1: one out-of-range
+                     30, 31, 32, 33],   # q2
+                    np.int64)
+    qvecs = rng.normal(size=(3, 8)).astype(np.float32)
+
+    vecs, ok_ref = store.load_decrypt_batch(flat)
+    norms = np.full(len(flat), -1.0, np.float32)   # poisoned staging
+    dots = np.full(len(flat), -1.0, np.float32)
+    ok = store.load_score_batch(flat, qvecs, 4, norms, dots)
+    np.testing.assert_array_equal(ok, ok_ref)
+    ref_norms = np.einsum("ij,ij->i", vecs, vecs)
+    ref_dots = np.einsum("ij,ij->i", vecs,
+                         np.repeat(qvecs, 4, axis=0))
+    np.testing.assert_allclose(norms[ok], ref_norms[ok], rtol=1e-6)
+    np.testing.assert_allclose(dots[ok], ref_dots[ok], rtol=1e-5)
+    # failed slots must be zeroed, not stale
+    assert (norms[~ok] == 0).all() and (dots[~ok] == 0).all()
+
+
+def test_load_score_batch_f16(tmp_path, rng):
+    """Fused scoring over f16 ciphertext payloads: the C loop widens in
+    L1 and scores the widened row."""
+    km = KeyManager(str(tmp_path / "ks16.blob"))
+    s = PointStore(str(tmp_path / "db16"), km, dim=8, dtype="f16")
+    try:
+        vecs = rng.normal(size=(16, 8)).astype(np.float32)
+        s.insert_batch(np.arange(16), vecs)
+        flat = np.arange(16, dtype=np.int64)
+        qvecs = rng.normal(size=(4, 8)).astype(np.float32)
+        got, ok_ref = s.load_decrypt_batch(flat)
+        norms = np.zeros(16, np.float32)
+        dots = np.zeros(16, np.float32)
+        ok = s.load_score_batch(flat, qvecs, 4, norms, dots)
+        assert ok.all() and ok_ref.all()
+        np.testing.assert_allclose(
+            norms, np.einsum("ij,ij->i", got, got), rtol=1e-6)
+        np.testing.assert_allclose(
+            dots, np.einsum("ij,ij->i", got, np.repeat(qvecs, 4, axis=0)),
+            rtol=1e-5, atol=1e-5)
+    finally:
+        s.close()

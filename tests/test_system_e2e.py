@@ -445,3 +445,35 @@ def test_rerank_fast_restore_roundtrip(tmp_path, corpus):
         assert before == after
     finally:
         sys2.shutdown()
+
+
+def test_fused_score_matches_device_refine(tmp_path, corpus):
+    """The fused decrypt-and-score host path (C AES loop emits norms+dots,
+    plaintext never reaches DRAM) returns the same ids as the device
+    refine backend, and near-identical distances (float association
+    differs), in both f32 and f16 storage."""
+    base, queries = corpus
+    for dtype in ("f32", "f16"):
+        got = {}
+        for backend in ("host", "device"):
+            cfg = small_cfg(refine_backend=backend, storage_dtype=dtype)
+            sys_ = ForwardSecureANNSystem(cfg, str(tmp_path /
+                                                   f"fs_{dtype}_{backend}"),
+                                          DIM, query_batch=8)
+            try:
+                sys_.index_stream(base, batch_size=400)
+                sys_.finalize_for_search()
+                toks = [sys_.create_token(q, 10) for q in queries]
+                res = sys_.query_service.search_batch(toks)
+                got[backend] = (res.ids.copy(), res.distances.copy())
+            finally:
+                sys_.shutdown()
+        ids_h, d_h = got["host"]
+        ids_d, d_d = got["device"]
+        # distances must agree tightly; ids may swap only at exact ties
+        np.testing.assert_allclose(d_h, d_d, rtol=1e-4, atol=1e-4)
+        swapped = ids_h != ids_d
+        if swapped.any():
+            np.testing.assert_allclose(d_h[swapped], d_d[swapped],
+                                       rtol=1e-4, atol=1e-4)
+        assert (ids_h == ids_d).mean() > 0.95

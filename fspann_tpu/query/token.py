@@ -46,13 +46,29 @@ class QueryTokenFactory:
         qc, qk = np.asarray(qc), np.asarray(qk)
         kv = self.km.current_version
         gcm = self.km.gcm_for(kv)
+        n = len(queries)
+        body = 4 * self.dim
+        # ONE batched seal for the whole token batch (the per-token Python
+        # seal loop was ~0.04 ms/q of interpreter+ctypes overhead at
+        # serving rates); IVs from one urandom read, still unique per token
+        from ..crypto import aesgcm
+
+        ivs = np.frombuffer(secrets.token_bytes(12 * n),
+                            np.uint8).reshape(n, 12)
+        pt_flat = np.ascontiguousarray(queries.astype("<f4")).view(
+            np.uint8).reshape(-1)
+        offs = np.arange(n, dtype=np.uint64) * body
+        lens = np.full(n, body, np.uint64)
+        ct_flat, tags = aesgcm.seal_batch(gcm, ivs, [b""] * n,
+                                          pt_flat, offs, lens)
         out = []
-        for i in range(len(queries)):
-            iv = secrets.token_bytes(12)
-            pt = queries[i].astype("<f4").tobytes()
-            ct = gcm.seal(iv, pt)
+        for i in range(n):
+            pt = pt_flat[i * body:(i + 1) * body].tobytes()
+            ct = ct_flat[i * body:(i + 1) * body].tobytes() \
+                + tags[i].tobytes()
             out.append(QueryToken(
-                codes=qc[i], keys=qk[i], iv=iv, encrypted_query=ct,
+                codes=qc[i], keys=qk[i], iv=ivs[i].tobytes(),
+                encrypted_query=ct,
                 top_k=top_k, dimension=self.dim, key_version=kv,
                 num_tables=bank.tables, lam=bank.lam,
                 query_digest=hashlib.blake2b(pt, digest_size=16).digest()))

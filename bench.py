@@ -36,32 +36,42 @@ def log(msg):
 def _device_preflight(timeout_s: int | None = None) -> bool:
     """Probe the TPU in a subprocess.  A killed TPU client wedges the axon
     device grant for a long lease timeout, and device claims shortly after a
-    previous session close can take minutes — so the probe must be PATIENT:
-    killing it mid-claim re-wedges the device (observed).  Returns True when
-    the device executes ops."""
-    import signal
+    previous process's exit can take MINUTES — so the probe must be PATIENT,
+    and on timeout it must be ORPHANED, never killed: SIGKILLing a probe
+    mid-claim is itself what wedges the grant for the next ~45 min
+    (observed twice; CLAUDE.md).  An orphaned probe finishes its claim,
+    runs the 4-element sum, and exits cleanly — releasing the device for
+    the next run while this process serves on the CPU fallback.  Returns
+    True when the device executed ops within the patience window."""
     import subprocess
     import tempfile
     if timeout_s is None:
-        timeout_s = int(os.environ.get("BENCH_PREFLIGHT_S", 540))
+        timeout_s = int(os.environ.get("BENCH_PREFLIGHT_S", 900))
     # NOTE: no capture_output — the axon runtime forks helpers that inherit
-    # the pipe and keep it open after the timeout kill, wedging communicate().
-    # Write to a file and kill the whole process group on timeout.
-    with tempfile.NamedTemporaryFile("w+") as out:
-        p = subprocess.Popen(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(int(jnp.ones(4).sum()))"],
-            stdout=out, stderr=subprocess.DEVNULL, start_new_session=True)
-        try:
-            rc = p.wait(timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            try:
-                os.killpg(p.pid, signal.SIGKILL)
-            except OSError:
-                pass
-            return False
+    # the pipe and keep it open past the parent's exit, wedging communicate().
+    # Write to a real file instead (NOT delete-on-close: the orphan keeps
+    # writing to it after we return).
+    out = tempfile.NamedTemporaryFile("w+", delete=False)
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp; print(int(jnp.ones(4).sum()))"],
+        stdout=out, stderr=subprocess.DEVNULL, start_new_session=True)
+    try:
+        rc = p.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"preflight probe still claiming after {timeout_s}s — leaving "
+            "it to finish in the background (killing it would wedge the "
+            "device grant)")
+        return False
+    ok_txt = ""
+    try:
         out.seek(0)
-        return rc == 0 and "4" in out.read()
+        ok_txt = out.read()
+        out.close()
+        os.unlink(out.name)
+    except OSError:
+        pass
+    return rc == 0 and "4" in ok_txt
 
 
 def main():

@@ -48,7 +48,7 @@ def main(n=20_000, d=32, q=32):
               f"reencrypted {rep['reencrypted']} touched ids in "
               f"{rep['time_ms']:.0f}ms, {rep['migration_remaining']} remain")
 
-        sys_.profiler.rows.clear()
+        sys_.profiler.clear_rows()
         agg2 = sys_.run_queries(queries, gtm, base)
         print(f"post-rotation: {agg2.paper_line()}")
         assert abs(agg2.recall_at_k[10] - agg.recall_at_k[10]) < 1e-9, \

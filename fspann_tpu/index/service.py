@@ -425,17 +425,8 @@ class PartitionedIndex:
         default device's reported free memory (leaves room for the [Q,
         chunk] scan scratch + the partition table), 4 GiB fallback on
         backends without memory stats (host CPU)."""
-        budget = 4 << 30
-        try:
-            import jax as _jax
-            stats = _jax.local_devices()[0].memory_stats()
-            if stats and stats.get("bytes_limit"):
-                free = int(stats["bytes_limit"]) \
-                    - int(stats.get("bytes_in_use", 0))
-                budget = max(free * 6 // 10, 256 << 20)
-        except Exception:
-            pass
-        return budget
+        from ..utils.devmem import free_memory_budget
+        return free_memory_budget(6, 10, fallback=4 << 30)
 
     def _scan_flat_budget(self) -> int:
         """Bytes of [Q, N] rank scratch the flat scan may allocate before
@@ -448,17 +439,13 @@ class PartitionedIndex:
         if mb > 0:
             return mb << 20
         if self._scan_budget_cache is None:
-            budget = 2 << 30
+            from ..utils.devmem import free_memory_budget
             try:
                 dev = next(iter(self._scan_state.bits.devices()))
-                stats = dev.memory_stats()
-                if stats and stats.get("bytes_limit"):
-                    free = int(stats["bytes_limit"]) \
-                        - int(stats.get("bytes_in_use", 0))
-                    budget = max(free // 2, 256 << 20)
             except Exception:
-                pass
-            self._scan_budget_cache = budget
+                dev = None
+            self._scan_budget_cache = free_memory_budget(
+                1, 2, fallback=2 << 30, device=dev)
         return self._scan_budget_cache
 
     @property

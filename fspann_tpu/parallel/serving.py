@@ -84,8 +84,8 @@ class DistributedEncryptedSystem:
         if rt.routing_mode != "scan":
             return False
         pp = self.cfg.paper
-        mode = {"on": "packed", "off": True, "auto": "auto"}[rt.scan_packed]
-        return resolve_scan_layout(mode, shard_rows,
+        # resolve_scan_layout understands "on"/"off"/"auto" verbatim
+        return resolve_scan_layout(rt.scan_packed, shard_rows,
                                    pp.num_groups * pp.code_bits)
 
     def build(self, base: np.ndarray, sample: int = 1000,
@@ -333,10 +333,7 @@ class DistributedEncryptedSystem:
         self.n = self.index.n
         # deletions live in the shard stores' metadata (the mesh checkpoint
         # holds only codes) — re-derive the device-side mask
-        dead = [np.asarray(sh.meta.tombstoned_ids(), np.int64)
-                for sh in self.store.shards]
-        dead = np.concatenate([d for d in dead if len(d)]) \
-            if any(len(d) for d in dead) else np.empty(0, np.int64)
+        dead = self.store.meta.tombstoned_ids()
         if len(dead):
             self.index.mark_deleted(dead)
         return self.n

@@ -57,15 +57,8 @@ def resolve_scan_layout(mode, shard_rows: int, bits_per_row: int):
         return "packed"
     if mode != "auto":
         raise ValueError(f"unknown scan layout {mode!r}")
-    budget = 4 << 30
-    try:
-        stats = jax.local_devices()[0].memory_stats()
-        if stats and stats.get("bytes_limit"):
-            free = int(stats["bytes_limit"]) \
-                - int(stats.get("bytes_in_use", 0))
-            budget = max(free * 6 // 10, 256 << 20)
-    except Exception:
-        pass
+    from ..utils.devmem import free_memory_budget
+    budget = free_memory_budget(6, 10, fallback=4 << 30)
     return "packed" if shard_rows * bits_per_row > budget else True
 
 
@@ -99,18 +92,17 @@ class ShardedIndex:
         shard = NamedSharding(self.mesh, P(self.axis))
         self.tombs = jax.device_put(np.zeros(rows * nd, bool), shard)
 
-    def mark_deleted(self, ids) -> None:
-        """Tombstone global row ids across the mesh — the sharded analogue
-        of the single-chip ``PartitionedIndex.mark_deleted``: each shard's
-        slice is updated ON its own device (committed ``.at[].set``), then
-        the global mask is reassembled.  O(deletions), no rebuild."""
+    def _set_tombstones(self, ids, value: bool) -> None:
+        """Set/clear tombstone bits for global row ids: each shard's slice
+        is updated ON its own device (committed ``.at[].set``), then the
+        global mask is reassembled.  O(changes), no rebuild."""
         if self.tombs is None:
-            raise RuntimeError("build before mark_deleted")
+            raise RuntimeError("build before tombstone updates")
         ids = np.atleast_1d(np.asarray(ids, np.int64))
         if not len(ids):
             return
         if (ids < 0).any() or (ids >= self.n).any():
-            raise ValueError("delete ids out of range")
+            raise ValueError("tombstone ids out of range")
         rows = self.shard_rows
         devs = list(self.mesh.devices.reshape(-1))
         parts = self._per_device(self.tombs)
@@ -119,31 +111,20 @@ class ShardedIndex:
             s = int(s)
             local = jax.device_put(
                 (ids[shard_of == s] - s * rows).astype(np.int32), devs[s])
-            parts[s] = parts[s].at[local].set(True)
+            parts[s] = parts[s].at[local].set(value)
         shard = NamedSharding(self.mesh, P(self.axis))
         self.tombs = jax.make_array_from_single_device_arrays(
             (rows * self.n_devices,), shard, parts)
 
+    def mark_deleted(self, ids) -> None:
+        """Tombstone global row ids across the mesh — the sharded analogue
+        of the single-chip ``PartitionedIndex.mark_deleted``."""
+        self._set_tombstones(ids, True)
+
     def mark_undeleted(self, ids) -> None:
         """Clear tombstones (the mesh analogue of the single-chip
         undelete window — valid until the shard arenas compact/retire)."""
-        if self.tombs is None:
-            raise RuntimeError("build before mark_undeleted")
-        ids = np.atleast_1d(np.asarray(ids, np.int64))
-        if not len(ids):
-            return
-        rows = self.shard_rows
-        devs = list(self.mesh.devices.reshape(-1))
-        parts = self._per_device(self.tombs)
-        shard_of = ids // rows
-        for s in np.unique(shard_of):
-            s = int(s)
-            local = jax.device_put(
-                (ids[shard_of == s] - s * rows).astype(np.int32), devs[s])
-            parts[s] = parts[s].at[local].set(False)
-        shard = NamedSharding(self.mesh, P(self.axis))
-        self.tombs = jax.make_array_from_single_device_arrays(
-            (rows * self.n_devices,), shard, parts)
+        self._set_tombstones(ids, False)
 
     # -- build ------------------------------------------------------------------
 

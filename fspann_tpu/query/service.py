@@ -354,12 +354,12 @@ class QueryService:
         if self.cfg.runtime.refine_backend == "device":
             if self._stage_buf.size < flat.size * dim:
                 self._stage_buf = np.zeros(flat.size * dim, np.float32)
-            if self._norms_buf.size < flat.size:
-                self._norms_buf = np.zeros(flat.size, np.float32)
             out = self._stage_buf[:flat.size * dim].reshape(flat.size, dim)
-            norms = self._norms_buf[:flat.size]
+            # no norms_out: the device refine kernel computes distances
+            # from the candidate matrix itself — fused norms would be
+            # per-row host FLOPs with no consumer
             vecs_flat, ok_flat = self.store.load_decrypt_batch(
-                flat, out=out, norms_out=norms)
+                flat, out=out)
             valid = ok_flat.reshape(q, r)
             if touched_parts is not None:
                 touched_parts.append(flat[ok_flat])

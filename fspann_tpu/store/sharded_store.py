@@ -237,7 +237,7 @@ class ShardedPointStore:
             bytes_after=self.size_bytes())
 
     def count_with_version(self, kv: int) -> int:
-        return sum(s.meta.count_with_version(kv) for s in self.shards)
+        return self.meta.count_with_version(kv)
 
     def reencrypt_all(self, target_version=None) -> ReencryptReport:
         reports = [s.reencrypt_all(target_version) for s in self.shards]
@@ -251,7 +251,11 @@ class ShardedPointStore:
             bytes_after=self.size_bytes())
 
     def retire_version(self, kv: int) -> bool:
-        return all(s.retire_version(kv) for s in self.shards)
+        # evaluate EVERY shard (no all(generator) short-circuit): retirement
+        # is per-shard secure deletion, and stopping at the first still-live
+        # shard would leave the remaining eligible shards unretired
+        results = [s.retire_version(kv) for s in self.shards]
+        return all(results)
 
     def compact_version(self, kv: int) -> int:
         """Per-shard crash-consistent arena compaction; returns total

@@ -97,14 +97,17 @@ class Profiler:
 
     @property
     def rows(self) -> list:
-        """Object view of all recorded rows (materialized lazily, cached)."""
+        """Object view of all recorded rows (materialized lazily, cached).
+        Returns a fresh list each call: mutating it (e.g. ``.clear()``)
+        must not desync the cache from the underlying block storage — use
+        :meth:`clear_rows` to actually discard rows."""
         if self._rows_cache is None:
             rows = list(self._rows_direct)
             for blk in self._blocks:
                 cols = [blk[f].tolist() for f in ROW_FIELDS]
                 rows.extend(QueryRow(*vals) for vals in zip(*cols))
             self._rows_cache = rows
-        return self._rows_cache
+        return list(self._rows_cache)
 
     def clear_rows(self) -> None:
         self._blocks.clear()

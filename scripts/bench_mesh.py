@@ -57,13 +57,17 @@ def main():
     sys_ = DistributedEncryptedSystem(cfg, os.path.join(work, "db"), d)
 
     decrypted = [0]
-    orig = sys_.store.load_decrypt_batch
 
-    def counting(flat, **kw):
-        decrypted[0] += int((np.asarray(flat) >= 0).sum())
-        return orig(flat, **kw)
+    def counted(method):
+        def counting(flat, *a, **kw):
+            decrypted[0] += int((np.asarray(flat) >= 0).sum())
+            return method(flat, *a, **kw)
+        return counting
 
-    sys_.store.load_decrypt_batch = counting
+    # the serving path decrypts via the fused load_score_batch; wrap the
+    # unfused variant too so a backend change can't zero the counter
+    sys_.store.load_score_batch = counted(sys_.store.load_score_batch)
+    sys_.store.load_decrypt_batch = counted(sys_.store.load_decrypt_batch)
 
     try:
         t0 = time.perf_counter()

@@ -127,6 +127,34 @@ def test_keyutils(rng):
                        [b"aad1"]) is None
 
 
+def test_sharded_store_retire_version_visits_every_shard(tmp_path, rng):
+    """retire_version must attempt retirement on ALL shards even when an
+    early shard still holds live points at the version — an all(generator)
+    short-circuit left later eligible shards unretired (review finding)."""
+    import os
+
+    from fspann_tpu.crypto.keys import KeyManager
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    s = ShardedPointStore(str(tmp_path / "db"), km, dim=8, num_shards=3)
+    ids = np.arange(60)
+    s.insert_batch(ids, rng.normal(size=(60, 8)).astype(np.float32))
+    shard = s.shard_of(ids)
+    assert all((shard == i).any() for i in range(3))
+    km.rotate()
+    # migrate everything OFF v1 except shard 1's points
+    s.reencrypt_ids(ids[shard != 1])
+    retired = s.retire_version(1)
+    assert not retired   # shard 1 still owns live v1 points
+    assert not os.path.exists(s.shards[0]._arena_path(1))
+    assert not os.path.exists(s.shards[2]._arena_path(1))
+    assert os.path.exists(s.shards[1]._arena_path(1))
+    # after shard 1 migrates, retirement completes everywhere
+    s.reencrypt_ids(ids[shard == 1])
+    assert s.retire_version(1)
+    assert not os.path.exists(s.shards[1]._arena_path(1))
+    s.close()
+
+
 def test_sharded_store_probe_shards(tmp_path, rng):
     from fspann_tpu.crypto.keys import KeyManager
     km = KeyManager(str(tmp_path / "ks.blob"))

@@ -342,3 +342,22 @@ def test_fspann_threads_batch_open_identical(tmp_path, rng, monkeypatch):
         np.testing.assert_array_equal(norms1, norms2)
     finally:
         store.close()
+
+
+def test_profiler_rows_external_clear_cannot_desync():
+    """``profiler.rows`` returns a detached list: mutating it (the old
+    ``rows.clear()`` idiom) must neither hide block-stored rows nor let
+    'cleared' rows resurface after the cache invalidates."""
+    from fspann_tpu.utils.profiler import ROW_FIELDS, Profiler
+
+    p = Profiler()
+    blk = {f: np.zeros(3) for f in ROW_FIELDS}
+    blk["query_index"] = np.arange(3)
+    p.record_block(**blk)
+    assert len(p.rows) == 3
+    p.rows.clear()           # external mutation of the returned list
+    assert len(p.rows) == 3  # storage untouched
+    p.clear_rows()           # the real API
+    assert len(p.rows) == 0
+    p.record_block(**blk)
+    assert len(p.rows) == 3

@@ -16,7 +16,7 @@ Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
 BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_CORPUS (hard|easy, default
 hard — the LSH-hard instance, io/synthetic.py), BENCH_PROBES (-1 = profile
 default), BENCH_ROUTING (scan|probe), BENCH_RERANK (decrypt budget L),
-BENCH_PREFLIGHT_S (540), BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
+BENCH_PREFLIGHT_S (900), BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
 """
 
 import json
@@ -56,19 +56,28 @@ def _device_preflight(timeout_s: int | None = None) -> bool:
         [sys.executable, "-c",
          "import jax, jax.numpy as jnp; print(int(jnp.ones(4).sum()))"],
         stdout=out, stderr=subprocess.DEVNULL, start_new_session=True)
+    # unlink now: the orphan keeps its open fd (POSIX keeps the inode
+    # alive), so a timed-out probe can't leak the temp file
+    try:
+        os.unlink(out.name)
+    except OSError:
+        pass
     try:
         rc = p.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         log(f"preflight probe still claiming after {timeout_s}s — leaving "
             "it to finish in the background (killing it would wedge the "
             "device grant)")
+        # reap it whenever it eventually finishes (no zombie for the rest
+        # of the bench run); the thread dies with the process either way
+        import threading
+        threading.Thread(target=p.wait, daemon=True).start()
         return False
     ok_txt = ""
     try:
         out.seek(0)
         ok_txt = out.read()
         out.close()
-        os.unlink(out.name)
     except OSError:
         pass
     return rc == 0 and "4" in ok_txt

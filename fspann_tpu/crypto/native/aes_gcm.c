@@ -559,9 +559,15 @@ static int open_batch_rec_id_range(const void *ctx,
     uint8_t scratch_stack[8192];
     uint8_t *scratch = NULL;
     const int score_only = (pt == NULL);
-    /* scratch layout: [ct_len decrypt row | 2*ct_len widened row (f16)] */
-    size_t scratch_need = (payload_f16 ? (score_only ? 3 : 1) * ct_len
-                                       : (score_only ? ct_len : 0));
+    /* scratch layout: [ct_len decrypt row | pad | 2*ct_len widened row
+     * (f16)].  The widened row holds floats, so its offset must be
+     * float-aligned even when ct_len (= 2*dim) is not a multiple of 4
+     * (odd dim) — round up to a cache line. */
+    const size_t wide_off = ((size_t)ct_len + 63) & ~(size_t)63;
+    size_t scratch_need = (payload_f16
+                               ? (score_only ? wide_off + 2 * (size_t)ct_len
+                                             : (size_t)ct_len)
+                               : (score_only ? (size_t)ct_len : 0));
     if (scratch_need)
         scratch = (scratch_need <= sizeof(scratch_stack))
             ? scratch_stack : (uint8_t *)malloc(scratch_need);
@@ -616,7 +622,7 @@ static int open_batch_rec_id_range(const void *ctx,
         if (payload_f16) {
             /* widen f16 -> f32 while the row is in L1, norms fused */
             const uint16_t *h = (const uint16_t *)scratch;
-            float *o = score_only ? (float *)(scratch + ct_len)
+            float *o = score_only ? (float *)(scratch + wide_off)
                                   : (float *)(pt + pt_off[i]);
             size_t nd = ct_len / 2, j = 0;
             float acc = 0.f;

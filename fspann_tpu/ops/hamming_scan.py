@@ -97,18 +97,19 @@ def build_scan_state(codes: np.ndarray, code_bits: int,
     return ScanState(jax.device_put(bits), jax.device_put(popc))
 
 
-def build_scan_state_packed(codes: np.ndarray, code_bits: int,
-                            chunk: int = 262_144) -> PackedScanState:
-    """Upload the packed words as-is; popcounts computed host-side in
-    bounded chunks (the only full unpack, and it never leaves the host)."""
-    n = codes.shape[0]
-    popc = np.empty(n, np.int32)
-    for lo in range(0, n, chunk):
-        popc[lo:lo + chunk] = unpack_bits_numpy(
-            codes[lo:lo + chunk], code_bits).sum(axis=1, dtype=np.int32)
-    return PackedScanState(
-        jax.device_put(np.ascontiguousarray(codes, np.uint32)),
-        jax.device_put(popc))
+def build_scan_state_packed(codes: np.ndarray,
+                            code_bits: int) -> PackedScanState:
+    """Upload the packed words as-is; popcounts come from ONE device
+    ``lax.population_count`` pass over the uploaded words (pad bits are
+    zero by the packers' construction — ops/coding.py pads with zeros —
+    so word popcounts equal bit-matrix row sums).  The old host path
+    unpacked the full bit matrix (8× the packed bytes) on the
+    bandwidth-starved host purely to sum it."""
+    words = jax.device_put(np.ascontiguousarray(codes, np.uint32))
+    popc = jax.jit(lambda w: jnp.sum(
+        jax.lax.population_count(w.reshape(w.shape[0], -1)),
+        axis=-1).astype(jnp.int32))(words)
+    return PackedScanState(words, popc)
 
 
 def _adaptive_count(scores: jax.Array, anchor: int, margin: int,
@@ -182,6 +183,45 @@ def scan(state: ScanState, qbits: jax.Array, tombstones: jax.Array,
     return RouteResult(ids, scores, n_live, jnp.full_like(n_live, n), n_dec)
 
 
+def scan_chunk_merge(qbits: jax.Array, bits_c: jax.Array, popc_c: jax.Array,
+                     dead_c: jax.Array, start: jax.Array, start_c: jax.Array,
+                     carry: tuple, approx: bool) -> tuple:
+    """One chunked-scan step: MXU-score ``bits_c`` (int8 [chunk, B])
+    against ``qbits``, mask dead + tail-duplicate rows (``start_c`` is the
+    clamped slice origin; rows with index < ``start`` were already
+    scanned), take the chunk top-k, and 2-key-merge (score, id) into the
+    running carry.  SHARED by the single-chip :func:`scan_chunked` and the
+    mesh packed step (``parallel/sharded.scan_route_step_fn_packed``) —
+    the packed==unpacked and mesh==single-chip equalities require these
+    to stay bit-identical, so the scoring/masking/merge lives once, here.
+    All row arithmetic is pinned int32 (x64 is enabled package-wide)."""
+    best_sc, best_id = carry
+    q, k = best_sc.shape
+    chunk = bits_c.shape[0]
+    dots = jax.lax.dot_general(
+        qbits, bits_c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [Q, chunk]
+    part = popc_c[None, :] - 2 * dots
+    ridx = start_c.astype(jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
+    dd = dead_c[None, :] | (ridx < start)[None, :]
+    part = jnp.where(dd, _DEAD, part)
+    if approx:
+        neg, idx = jax.lax.approx_max_k(-part.astype(jnp.float32), k,
+                                        recall_target=0.98)
+        sc = (-neg).astype(jnp.int32)
+    else:
+        neg, idx = jax.lax.top_k(-part, k)
+        sc = -neg
+    cid = ridx[idx.reshape(-1)].reshape(q, k)
+    cid = jnp.where(sc < _DEAD, cid, -1)
+    # merge with carry: 2-key sort by (score, id) keeps scan()'s order
+    msc, mid = jax.lax.sort(
+        (jnp.concatenate([best_sc, sc.astype(jnp.int32)], axis=-1),
+         jnp.concatenate([best_id, cid.astype(jnp.int32)], axis=-1)),
+        dimension=-1, num_keys=2)
+    return msc[:, :k], mid[:, :k]
+
+
 @partial(jax.jit, static_argnames=("limit", "chunk", "approx", "anchor",
                                    "margin", "floor", "code_bits"))
 def scan_chunked(state: ScanState | PackedScanState, qbits: jax.Array,
@@ -221,41 +261,21 @@ def scan_chunked(state: ScanState | PackedScanState, qbits: jax.Array,
     nc = -(-n // chunk)
 
     def body(i, carry):
-        best_sc, best_id = carry
-        start = i * chunk
-        start_c = jnp.minimum(start, n - chunk)
+        start = (i * chunk).astype(jnp.int32)
+        start_c = jnp.minimum(start, jnp.int32(n - chunk))
+        zero = jnp.int32(0)
         if packed:
-            words_c = jax.lax.dynamic_slice(state.words, (start_c, 0, 0),
+            words_c = jax.lax.dynamic_slice(state.words,
+                                            (start_c, zero, zero),
                                             (chunk, g, w))
             bits_c = unpack_bits_device(words_c, code_bits)
         else:
-            bits_c = jax.lax.dynamic_slice(state.bits, (start_c, 0),
+            bits_c = jax.lax.dynamic_slice(state.bits, (start_c, zero),
                                            (chunk, b))
         popc_c = jax.lax.dynamic_slice(state.popc, (start_c,), (chunk,))
         tomb_c = jax.lax.dynamic_slice(tombstones, (start_c,), (chunk,))
-        dots = jax.lax.dot_general(
-            qbits, bits_c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)                 # [Q, chunk]
-        part = popc_c[None, :] - 2 * dots
-        rows = start_c + jnp.arange(chunk, dtype=jnp.int32)
-        # mask tombstones AND tail-overlap rows (already scanned)
-        dead = tomb_c[None, :] | (rows < start)[None, :]
-        part = jnp.where(dead, _DEAD, part)
-        if approx:
-            neg, idx = jax.lax.approx_max_k(-part.astype(jnp.float32), k,
-                                            recall_target=0.98)
-            sc = (-neg).astype(jnp.int32)
-        else:
-            neg, idx = jax.lax.top_k(-part, k)
-            sc = -neg
-        cid = rows[idx.reshape(-1)].reshape(q, k)
-        cid = jnp.where(sc < _DEAD, cid, -1)
-        # merge with carry: 2-key sort by (score, id) keeps scan()'s order
-        msc, mid = jax.lax.sort(
-            (jnp.concatenate([best_sc, sc], axis=-1),
-             jnp.concatenate([best_id, cid], axis=-1)),
-            dimension=-1, num_keys=2)
-        return msc[:, :k], mid[:, :k]
+        return scan_chunk_merge(qbits, bits_c, popc_c, tomb_c,
+                                start, start_c, carry, approx)
 
     init = (jnp.full((q, k), _DEAD, jnp.int32),
             jnp.full((q, k), -1, jnp.int32))

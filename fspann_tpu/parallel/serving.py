@@ -324,7 +324,8 @@ class DistributedEncryptedSystem:
         the number of live rows."""
         rt = self.cfg.runtime
         path = os.path.join(self.base_dir, "mesh_state.npz")
-        rows = int(np.load(path)["shard_rows"])
+        with np.load(path) as z:   # close the zip handle before restore
+            rows = int(z["shard_rows"])
         self.index = ShardedIndex.restore_state(
             path, self.mesh,
             keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),

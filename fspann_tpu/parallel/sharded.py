@@ -685,7 +685,6 @@ class ShardedIndex:
             k = min(limit, chunk)
 
             def body(i, carry):
-                best_sc, best_id = carry
                 # x64 is enabled package-wide: the fori_loop index arrives
                 # int64 here — pin the row arithmetic to int32 so the merge
                 # carry dtypes stay fixed
@@ -699,30 +698,12 @@ class ShardedIndex:
                                                (chunk,))
                 dead_c = jax.lax.dynamic_slice(deadmask, (start_c,),
                                                (chunk,))
-                dots = jax.lax.dot_general(
-                    qbits, bits_c,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)          # [Q, chunk]
-                part = popc_c[None, :] - 2 * dots
-                ridx = start_c + jnp.arange(chunk, dtype=jnp.int32)
-                dd = dead_c[None, :] | (ridx < start)[None, :]
-                part = jnp.where(dd, dead, part)
-                if approx:
-                    neg, idx = jax.lax.approx_max_k(
-                        -part.astype(jnp.float32), k, recall_target=0.98)
-                    sc = (-neg).astype(jnp.int32)
-                else:
-                    neg, idx = jax.lax.top_k(-part, k)
-                    sc = -neg
-                cid = ridx[idx.reshape(-1)].reshape(q, k)
-                cid = jnp.where(sc < dead, cid, -1)
-                msc, mid = jax.lax.sort(
-                    (jnp.concatenate([best_sc,
-                                      sc.astype(jnp.int32)], axis=-1),
-                     jnp.concatenate([best_id,
-                                      cid.astype(jnp.int32)], axis=-1)),
-                    dimension=-1, num_keys=2)
-                return msc[:, :k], mid[:, :k]
+                # scoring/masking/top-k/merge shared with the single-chip
+                # scan_chunked — the packed==unpacked and mesh==single-chip
+                # equalities need the chunk body to stay bit-identical
+                return hamming_scan.scan_chunk_merge(
+                    qbits, bits_c, popc_c, dead_c, start, start_c,
+                    carry, approx)
 
             init = (jnp.full((q, k), dead, jnp.int32),
                     jnp.full((q, k), -1, jnp.int32))

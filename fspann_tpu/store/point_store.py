@@ -357,6 +357,16 @@ class PointStore:
         need = (int(rows.max(initial=-1)) + 1) if rows is not None else n
         if len(norms_out) < need or len(dots_out) < need:
             raise ValueError("norms_out/dots_out too short")
+        qvecs = np.asarray(qvecs)
+        if rows_per_query < 1:
+            raise ValueError("rows_per_query must be >= 1")
+        if qvecs.ndim != 2 or qvecs.shape[1] != self.dim:
+            raise ValueError("qvecs must be [n_queries, dim]")
+        # the C loop indexes qvecs[slot // rows_per_query] with no bounds
+        # check — validate here so an inconsistent caller fails loudly
+        # instead of reading past the query matrix
+        if len(qvecs) * rows_per_query < need:
+            raise ValueError("qvecs rows cover fewer slots than needed")
 
         kv_all, off_all = self.meta.lookup_batch(ids)
         present = kv_all > 0

@@ -338,3 +338,45 @@ def test_load_score_batch_f16(tmp_path, rng):
             rtol=1e-5, atol=1e-5)
     finally:
         s.close()
+
+
+def test_load_score_batch_f16_odd_dim(tmp_path, rng):
+    """Odd dims make ct_len (= 2*dim) a non-multiple of 4: the fused f16
+    score-only path must still widen into a float-ALIGNED scratch row
+    (regression for the odd-offset reinterpret, aes_gcm.c wide_off)."""
+    km = KeyManager(str(tmp_path / "ks7.blob"))
+    s = PointStore(str(tmp_path / "db7"), km, dim=7, dtype="f16")
+    try:
+        vecs = rng.normal(size=(12, 7)).astype(np.float32)
+        s.insert_batch(np.arange(12), vecs)
+        flat = np.arange(12, dtype=np.int64)
+        qvecs = rng.normal(size=(3, 7)).astype(np.float32)
+        got, ok_ref = s.load_decrypt_batch(flat)
+        norms = np.zeros(12, np.float32)
+        dots = np.zeros(12, np.float32)
+        ok = s.load_score_batch(flat, qvecs, 4, norms, dots)
+        assert ok.all() and ok_ref.all()
+        np.testing.assert_allclose(
+            norms, np.einsum("ij,ij->i", got, got), rtol=1e-6)
+        np.testing.assert_allclose(
+            dots, np.einsum("ij,ij->i", got, np.repeat(qvecs, 4, axis=0)),
+            rtol=1e-5, atol=1e-5)
+    finally:
+        s.close()
+
+
+def test_load_score_batch_validates_qvecs(store, rng):
+    """qvecs row count must cover every slot's query index — the C loop
+    has no bounds check, so an inconsistent caller must fail in Python."""
+    store.insert_batch(np.arange(8), rng.normal(size=(8, 8)).astype(np.float32))
+    flat = np.arange(8, dtype=np.int64)
+    norms = np.zeros(8, np.float32)
+    dots = np.zeros(8, np.float32)
+    q_ok = rng.normal(size=(2, 8)).astype(np.float32)
+    assert store.load_score_batch(flat, q_ok, 4, norms, dots).all()
+    with pytest.raises(ValueError):   # 1 query row covers only 4 slots
+        store.load_score_batch(flat, q_ok[:1], 4, norms, dots)
+    with pytest.raises(ValueError):   # wrong dim
+        store.load_score_batch(flat, q_ok[:, :4], 4, norms, dots)
+    with pytest.raises(ValueError):
+        store.load_score_batch(flat, q_ok, 0, norms, dots)

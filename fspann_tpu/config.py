@@ -94,6 +94,13 @@ class RuntimeConfig:
     # 30 GB), "auto" = pack only when the unpacked matrix would not fit
     # the device budget (index/service.py:_scan_auto_pack).
     scan_packed: str = "auto"
+    # Stage-A scan backend when no accelerator serves the scan: "on" routes
+    # through the native packed-word kernel (ops/native_scan — AVX XOR+
+    # popcount over uint32 words + exact histogram top-L, bit-identical to
+    # the device scan), "off" keeps XLA, "auto" uses the native kernel
+    # whenever the scan state lives on a CPU device (the XLA:CPU fallback
+    # streams the UNPACKED int8 matrix — 8x the bytes).
+    scan_native: str = "auto"
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
     # Where ingestion encoding + partition build run: "default" (the
@@ -233,6 +240,9 @@ class SystemConfig:
         if rt.scan_packed not in ("auto", "on", "off"):
             raise ValueError(f"scan_packed must be auto/on/off, "
                              f"got {rt.scan_packed!r}")
+        if rt.scan_native not in ("auto", "on", "off"):
+            raise ValueError(f"scan_native must be auto/on/off, "
+                             f"got {rt.scan_native!r}")
         if rt.adaptive_decrypt_margin < 0:
             raise ValueError("adaptive_decrypt_margin must be >= 0")
         if rt.adaptive_decrypt_margin > 0:
@@ -289,6 +299,7 @@ _FIELD_ALIASES = {
     "routingMode": "routing_mode",
     "scanFlatBudgetMb": "scan_flat_budget_mb",
     "scanPacked": "scan_packed",
+    "scanNative": "scan_native",
     "adaptiveDecryptMargin": "adaptive_decrypt_margin",
     "adaptiveDecryptAnchor": "adaptive_decrypt_anchor",
     "adaptiveDecryptFloor": "adaptive_decrypt_floor",

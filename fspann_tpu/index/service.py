@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SystemConfig
-from ..ops import coding, hamming_scan, partition, routing
+from ..ops import coding, hamming_scan, native_scan, partition, routing
 from ..ops.partition import PartitionTable
 
 
@@ -85,6 +85,7 @@ class PartitionedIndex:
         self._max_id = -1
         self._deleted: set[int] = set()
         self._tombstones_dev = None
+        self._tombstones_np = None
         self._tombstones_dirty = True
         if bank_path and os.path.exists(bank_path):
             self._load_bank(bank_path)
@@ -308,8 +309,9 @@ class PartitionedIndex:
             self._deleted.add(int(i))
         self._tombstones_dirty = True
 
-    def _tombstones(self):
-        if self._tombstones_dirty or self._tombstones_dev is None:
+    def _tombstones_host(self) -> np.ndarray:
+        """bool [N] dead mask, host-resident (native scan path)."""
+        if self._tombstones_dirty or self._tombstones_np is None:
             t = np.zeros(self._n_rows, bool)
             if self._deleted:
                 if self._dense:
@@ -321,8 +323,15 @@ class PartitionedIndex:
                     mask = np.isin(self._row_ids,
                                    np.fromiter(self._deleted, np.int64))
                     t[mask] = True
-            self._tombstones_dev = jnp.asarray(t)
+            self._tombstones_np = t
+            self._tombstones_dev = None
             self._tombstones_dirty = False
+        return self._tombstones_np
+
+    def _tombstones(self):
+        host = self._tombstones_host()
+        if self._tombstones_dev is None:
+            self._tombstones_dev = jnp.asarray(host)
         return self._tombstones_dev
 
     # -- query ------------------------------------------------------------------------
@@ -355,13 +364,26 @@ class PartitionedIndex:
             # budget L; the adaptive-retry pass widens it).  When the
             # [Q, N] rank scratch outgrows the device budget, switch to
             # the chunked running-top-L variant.
+            scan_l = min(refinement_limit or rt.effective_refinement(),
+                         self._n_rows)
+            if self._use_native_scan():
+                # CPU serving: the native packed-word kernel streams the
+                # uint32 words once (XOR+popcount) instead of XLA's 8x
+                # larger unpacked int8 matrix; results are bit-identical
+                # to the device scan (same scores, same (score, id) order)
+                res = native_scan.scan_topl(
+                    self._scan_codes, np.asarray(qcodes),
+                    self._tombstones_host() if self._deleted else None,
+                    scan_l,
+                    anchor=rt.adaptive_decrypt_anchor,
+                    margin=rt.adaptive_decrypt_margin,
+                    floor=rt.adaptive_decrypt_floor)
+                return self._map_external(res)
             # np.asarray is free when the caller passed host codes (the
             # query service does — avoids a D2H round trip per batch);
             # device-held codes (device encode backend) still work
             qbits = jnp.asarray(hamming_scan.unpack_bits_numpy(
                 np.asarray(qcodes), self.cfg.paper.code_bits))
-            scan_l = min(refinement_limit or rt.effective_refinement(),
-                         self._n_rows)
             if isinstance(self._scan_state, hamming_scan.PackedScanState):
                 # packed state always goes through the chunked scan (the
                 # per-chunk device unpack is the point of packing)
@@ -396,15 +418,44 @@ class PartitionedIndex:
         else:
             res = routing.route(self.table, qcodes, qkeys,
                                 self._tombstones(), probes, limit)
-        if not self._dense:
-            rid = np.asarray(res.ids)
-            mapped = np.where(rid >= 0, self._row_ids[np.maximum(rid, 0)], -1)
-            res = routing.RouteResult(mapped, np.asarray(res.scores),
-                                      np.asarray(res.n_unique),
-                                      np.asarray(res.n_raw),
-                                      None if res.n_dec is None
-                                      else np.asarray(res.n_dec))
-        return res
+        return self._map_external(res)
+
+    def _map_external(self, res: routing.RouteResult) -> routing.RouteResult:
+        """Row indices → external point ids (identity for dense builds)."""
+        if self._dense:
+            return res
+        rid = np.asarray(res.ids)
+        mapped = np.where(rid >= 0, self._row_ids[np.maximum(rid, 0)], -1)
+        return routing.RouteResult(mapped, np.asarray(res.scores),
+                                   np.asarray(res.n_unique),
+                                   np.asarray(res.n_raw),
+                                   None if res.n_dec is None
+                                   else np.asarray(res.n_dec))
+
+    def _use_native_scan(self) -> bool:
+        """Serve stage A through the native packed-word kernel?  "on"
+        demands it (raises if the library cannot build); "auto" picks it
+        exactly when the scan state lives on a CPU device — there the XLA
+        scan streams the 8x-unpacked bit matrix and loses (measured
+        17-20 ms/q vs the kernel's packed single pass at 1M x 3,072 bits);
+        on any accelerator the MXU bit-matmul wins by ~30x."""
+        mode = self.cfg.runtime.scan_native
+        if mode == "off" or self._scan_codes is None:
+            if mode == "on" and self.frozen:
+                raise RuntimeError("scan_native='on' needs the packed codes "
+                                   "(scan mode keeps them; probe mode with "
+                                   "rerank_limit=0 does not)")
+            return False
+        if mode == "on":
+            if not native_scan.available():
+                raise RuntimeError("scan_native='on' but the native scan "
+                                   "library failed to build")
+            return True
+        arr = self._scan_state.words \
+            if isinstance(self._scan_state, hamming_scan.PackedScanState) \
+            else self._scan_state.bits
+        return (next(iter(arr.devices())).platform == "cpu"
+                and native_scan.available())
 
     def _make_scan_state(self, codes: np.ndarray):
         """Build the scan state in the configured HBM layout.  "auto"

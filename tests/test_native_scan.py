@@ -91,6 +91,25 @@ def test_adaptive_budget_matches_device(rng):
     np.testing.assert_array_equal(np.asarray(dev.n_dec), nat.n_dec)
 
 
+def test_wide_codes_and_query_tails(rng):
+    """w32 = 24 words (SIMD body + masked tail) and q = 11 (one 8-block +
+    3 tail queries) against the device scan — the small default geometry
+    (w32 = 4) never leaves the masked-tail path."""
+    base, bank, codes = _mk(rng, n=350, d=48, m=40, lam=2, tables=4,
+                            divisions=2)
+    assert codes.shape[1] * codes.shape[2] == 24, codes.shape
+    qs = rng.normal(size=(11, 48)).astype(np.float32) * 4
+    qcodes = np.asarray(coding.encode(jnp.asarray(qs), bank)[0])
+    state = hamming_scan.build_scan_state(codes, bank.code_bits)
+    qbits = jnp.asarray(
+        hamming_scan.unpack_bits_numpy(qcodes, bank.code_bits))
+    dev = hamming_scan.scan(state, qbits, jnp.zeros(350, bool), 64,
+                            approx=False)
+    nat = native_scan.scan_topl(codes, qcodes, None, 64)
+    np.testing.assert_array_equal(np.asarray(dev.ids), nat.ids)
+    np.testing.assert_array_equal(np.asarray(dev.scores), nat.scores)
+
+
 def test_threads_do_not_change_results(rng):
     base, bank, codes = _mk(rng, n=700)
     qcodes = _queries(rng, bank, q=4)

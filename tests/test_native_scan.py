@@ -154,6 +154,36 @@ def test_index_service_native_equals_xla(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(ra.n_dec), np.asarray(rb.n_dec))
 
 
+def test_restore_preserves_native_results(rng, tmp_path):
+    """save_table → fresh index → load_table: the native backend returns
+    the same ranking from restored packed codes (the routing state is a
+    deterministic function of seed + config + persisted codes)."""
+    from fspann_tpu.config import SystemConfig
+    from fspann_tpu.index.service import PartitionedIndex
+
+    cfg = SystemConfig()
+    cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
+        cfg.runtime, routing_mode="scan", refinement_limit=50,
+        scan_native="on")).validate()
+    base = rng.normal(size=(250, 24)).astype(np.float32) * 4
+    queries = rng.normal(size=(5, 24)).astype(np.float32) * 4
+
+    bank_p = str(tmp_path / "bank.npz")
+    table_p = str(tmp_path / "table.npz")
+    a = PartitionedIndex(cfg, dim=24, bank_path=bank_p)
+    a.stage(np.arange(250), base)
+    a.finalize()
+    ra = a.route_batch(*a.encode_queries(queries))
+    a.save_table(table_p)
+
+    b = PartitionedIndex(cfg, dim=24, bank_path=bank_p)
+    assert b.load_table(table_p, expect_rows=250)
+    rb = b.route_batch(*b.encode_queries(queries))
+    np.testing.assert_array_equal(np.asarray(ra.ids), np.asarray(rb.ids))
+    np.testing.assert_array_equal(np.asarray(ra.scores),
+                                  np.asarray(rb.scores))
+
+
 def test_scan_native_config_validation():
     from fspann_tpu.config import SystemConfig
     cfg = SystemConfig()

@@ -130,6 +130,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     log(f"devices: {jax.devices()}")
+    actual = jax.default_backend()
+    if platform == "tpu" and actual != "tpu":
+        # e.g. JAX_PLATFORMS=cpu forced externally with BENCH_SKIP_PREFLIGHT
+        platform = actual
     # Corpus: "hard" (default) is the LSH-hard instance — heavy-tailed
     # anisotropic clusters + fringe queries, calibrated so recall sits in
     # the reference's real-SIFT band (R@100 0.52@5probes / 0.72@12probes at

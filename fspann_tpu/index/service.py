@@ -226,8 +226,13 @@ class PartitionedIndex:
             # probe-path rerank only; the scan keeps unpacked bits instead
             self.point_codes = jax.device_put(codes)
         if self.cfg.runtime.routing_mode == "scan":
-            self._scan_state = self._make_scan_state(np.asarray(codes))
             self._scan_codes = np.asarray(codes)   # persisted by save_table
+            # when the native CPU kernel will serve stage A, the device
+            # scan state is dead weight — at 1M x 2,304-bit codes the
+            # unpacked bit matrix is 2.3 GB of host RAM plus a full host
+            # unpack pass; the kernel reads the packed words directly
+            self._scan_state = None if self._native_preferred() \
+                else self._make_scan_state(self._scan_codes)
         if self.cfg.runtime.encode_backend == "cpu":
             # sort/build on the host too (numpy), then ship the compact
             # table to the session device in one transfer
@@ -260,7 +265,8 @@ class PartitionedIndex:
         if not self.frozen:
             raise RuntimeError("append_rows is for post-finalize inserts; "
                                "use stage() before finalize")
-        if self.cfg.runtime.routing_mode != "scan" or self._scan_state is None:
+        if self.cfg.runtime.routing_mode != "scan" \
+                or (self._scan_state is None and self._scan_codes is None):
             raise RuntimeError("live insert requires routing_mode='scan'")
         ids = np.asarray(ids, np.int64)
         vecs = np.asarray(vecs, np.float32)
@@ -278,20 +284,23 @@ class PartitionedIndex:
         else:
             codes, _ = coding.encode(jnp.asarray(vecs), self.bank)
             codes = np.asarray(codes)
-        cb = self.cfg.paper.code_bits
-        new_bits = hamming_scan.unpack_bits_numpy(codes, cb)
-        new_popc = jnp.asarray(new_bits.sum(axis=1, dtype=np.int32))
         st = self._scan_state
-        if isinstance(st, hamming_scan.PackedScanState):
-            self._scan_state = hamming_scan.PackedScanState(
-                jnp.concatenate(
-                    [st.words, jnp.asarray(codes.astype(np.uint32))],
-                    axis=0),
-                jnp.concatenate([st.popc, new_popc]))
-        else:
-            self._scan_state = hamming_scan.ScanState(
-                jnp.concatenate([st.bits, jnp.asarray(new_bits)], axis=0),
-                jnp.concatenate([st.popc, new_popc]))
+        if st is not None:
+            cb = self.cfg.paper.code_bits
+            new_bits = hamming_scan.unpack_bits_numpy(codes, cb)
+            new_popc = jnp.asarray(new_bits.sum(axis=1, dtype=np.int32))
+            if isinstance(st, hamming_scan.PackedScanState):
+                self._scan_state = hamming_scan.PackedScanState(
+                    jnp.concatenate(
+                        [st.words, jnp.asarray(codes.astype(np.uint32))],
+                        axis=0),
+                    jnp.concatenate([st.popc, new_popc]))
+            else:
+                self._scan_state = hamming_scan.ScanState(
+                    jnp.concatenate([st.bits, jnp.asarray(new_bits)],
+                                    axis=0),
+                    jnp.concatenate([st.popc, new_popc]))
+        # native-only serving: the packed codes ARE the scan state
         self._scan_codes = np.concatenate([self._scan_codes, codes])
         self._row_ids = np.concatenate([self._row_ids, ids])
         self._dense = bool(self._dense and len(ids)
@@ -358,7 +367,8 @@ class PartitionedIndex:
         rt = self.cfg.runtime
         probes = probes or rt.effective_probes()
         limit = refinement_limit or rt.refinement_limit
-        if rt.routing_mode == "scan" and self._scan_state is not None:
+        if rt.routing_mode == "scan" and (self._scan_state is not None
+                                          or self._scan_codes is not None):
             # MXU Hamming scan: global fine ranking, probes are moot —
             # the caller's refinement_limit IS honored (it is the decrypt
             # budget L; the adaptive-retry pass widens it).  When the
@@ -379,6 +389,12 @@ class PartitionedIndex:
                     margin=rt.adaptive_decrypt_margin,
                     floor=rt.adaptive_decrypt_floor)
                 return self._map_external(res)
+            if self._scan_state is None:
+                raise RuntimeError(
+                    "index was finalized for native-only scan serving "
+                    "(scan_native) but the native backend is now "
+                    "unavailable — rebuild or restore with scan_native"
+                    "='off'")
             # np.asarray is free when the caller passed host codes (the
             # query service does — avoids a D2H round trip per batch);
             # device-held codes (device encode backend) still work
@@ -432,30 +448,37 @@ class PartitionedIndex:
                                    None if res.n_dec is None
                                    else np.asarray(res.n_dec))
 
-    def _use_native_scan(self) -> bool:
-        """Serve stage A through the native packed-word kernel?  "on"
-        demands it (raises if the library cannot build); "auto" picks it
-        exactly when the scan state lives on a CPU device — there the XLA
-        scan streams the 8x-unpacked bit matrix and loses (measured
-        17-20 ms/q vs the kernel's packed single pass at 1M x 3,072 bits);
-        on any accelerator the MXU bit-matmul wins by ~30x."""
+    def _native_preferred(self) -> bool:
+        """Decide (at build/restore time) whether the native CPU kernel
+        will serve stage A: "on" demands it (raises if the library cannot
+        build), "auto" picks it exactly when the scan state would live on
+        a CPU device — there the XLA scan streams the 8x-unpacked bit
+        matrix and loses (measured 17-20 ms/q vs the kernel's packed
+        single pass at 1M x 3,072 bits); on any accelerator the MXU
+        bit-matmul wins by ~30x.  When preferred, the device scan state is
+        never built — the packed codes serve directly."""
         mode = self.cfg.runtime.scan_native
-        if mode == "off" or self._scan_codes is None:
-            if mode == "on" and self.frozen:
-                raise RuntimeError("scan_native='on' needs the packed codes "
-                                   "(scan mode keeps them; probe mode with "
-                                   "rerank_limit=0 does not)")
+        if mode == "off":
             return False
         if mode == "on":
             if not native_scan.available():
                 raise RuntimeError("scan_native='on' but the native scan "
                                    "library failed to build")
             return True
-        arr = self._scan_state.words \
-            if isinstance(self._scan_state, hamming_scan.PackedScanState) \
-            else self._scan_state.bits
-        return (next(iter(arr.devices())).platform == "cpu"
+        return (jax.devices()[0].platform == "cpu"
                 and native_scan.available())
+
+    def _use_native_scan(self) -> bool:
+        """Serve this route through the native kernel?  True exactly when
+        the build/restore decided native-only serving (no device scan
+        state was built) or scan_native='on'."""
+        if self.cfg.runtime.scan_native == "off" or self._scan_codes is None:
+            if self.cfg.runtime.scan_native == "on" and self.frozen:
+                raise RuntimeError("scan_native='on' needs the packed codes "
+                                   "(scan mode keeps them; probe mode with "
+                                   "rerank_limit=0 does not)")
+            return False
+        return self._scan_state is None or self._native_preferred()
 
     def _make_scan_state(self, codes: np.ndarray):
         """Build the scan state in the configured HBM layout.  "auto"
@@ -565,8 +588,9 @@ class PartitionedIndex:
             if rt.rerank_limit > 0 and rt.routing_mode != "scan":
                 self.point_codes = jax.device_put(codes)
             if rt.routing_mode == "scan":
-                self._scan_state = self._make_scan_state(codes)
                 self._scan_codes = codes
+                self._scan_state = None if self._native_preferred() \
+                    else self._make_scan_state(codes)
         self.table = jax.device_put(PartitionTable(
             z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),
             z["ids"].astype(np.int32), z["counts"].astype(np.int32)))

@@ -297,7 +297,13 @@ class QueryService:
         # (measured 0.58 ms/q of pure dispatch overhead at batch 64)
         qc = np.stack([t.codes for t in tokens])
         qk = np.stack([t.keys for t in tokens])
+        t0 = time.perf_counter()
         routed = self.index.route_batch(qc, qk, probes, limit)
+        # device backends return un-materialized arrays here (async
+        # dispatch, ~0.05 ms/batch); the native CPU scan computes
+        # synchronously — charge the elapsed dispatch time to the route
+        # stage either way so CPU serving shows its stage-A cost
+        dispatch_ns = int((time.perf_counter() - t0) * 1e9)
         r_full = routed.ids.shape[1]
         pred = self._slice_pred
         if pred is not None and pred < 0.7 * r_full:
@@ -315,11 +321,11 @@ class QueryService:
                     arr.copy_to_host_async()
                 except Exception:
                     break  # backend without async copy: consume path works
-        return routed, ids_slice, width
+        return routed, ids_slice, width, dispatch_ns
 
     def _consume_pass(self, tokens, qvecs, dispatched, k, touched_parts,
                       t_start):
-        routed, ids_slice, pred = dispatched
+        routed, ids_slice, pred, dispatch_ns = dispatched
         # stage attribution: route_ns counts only the time THIS thread spends
         # blocked on the device result — pipeline overlap (the previous
         # batch's host work ran between dispatch and here) is not charged
@@ -400,7 +406,7 @@ class QueryService:
                 cand_raw=int(n_raw[qi]), cand_unique=int(n_unique[qi]),
                 cand_refined=int((cand_ids[qi] >= 0).sum()),
                 cand_decrypted=int(n_scored[qi]), returned=returned,
-                route_ns=int((t1 - t_wait) * 1e9 / q),
+                route_ns=int((t1 - t_wait) * 1e9 / q) + dispatch_ns // q,
                 decrypt_ns=int((t2 - t1) * 1e9 / q),
                 refine_ns=int((t3 - t2) * 1e9 / q)))
         return ids, dists, stats

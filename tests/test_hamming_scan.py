@@ -123,7 +123,9 @@ def test_scan_system_pipeline_and_restore(tmp_path, rng):
     sys2 = ForwardSecureANNSystem(cfg, root, dim, query_batch=8)
     try:
         assert sys2.restore_index_from_disk()
-        assert sys2.index._scan_state is not None
+        # scan servable: device state, or packed codes for the native kernel
+        assert (sys2.index._scan_state is not None
+                or sys2.index._scan_codes is not None)
         tok2 = sys2.create_token(queries[0], 10)
         after = [(r.id, round(r.distance, 5)) for r in sys2.search(tok2)]
         assert before == after
@@ -372,6 +374,9 @@ def test_packed_system_end_to_end(tmp_path, rng):
             runtime=RuntimeConfig(refinement_limit=400,
                                   max_global_candidates=400,
                                   block_size=32, routing_mode="scan",
+                                  # this test targets the DEVICE packed
+                                  # layout; keep the native CPU kernel out
+                                  scan_native="off",
                                   scan_packed=packed)).validate()
         s = ForwardSecureANNSystem(cfg, str(tmp_path / path), d,
                                    query_batch=q)

@@ -224,6 +224,59 @@ static int cmp_u64(const void *a, const void *b) {
     return (x > y) - (x < y);
 }
 
+typedef struct {
+    const uint32_t *hist;   /* merged [q][bins] */
+    const uint16_t *scores; /* [q][n] */
+    int32_t *out_ids;
+    int32_t *out_scores;
+    uint64_t *keys;         /* thread-private [l] */
+    uint64_t n, n_live;
+    uint32_t bins, l, q_lo, q_hi;
+} pass2_t;
+
+static void *pass2_run(void *arg) {
+    pass2_t *t = (pass2_t *)arg;
+    const uint64_t n = t->n;
+    const uint32_t bins = t->bins, l = t->l;
+    for (uint32_t qi = t->q_lo; qi < t->q_hi; qi++) {
+        const uint32_t *h = t->hist + (size_t)qi * bins;
+        const uint16_t *sr = t->scores + (size_t)qi * n;
+        /* threshold: smallest score s with cumcount(<=s) >= l */
+        uint64_t cum = 0, below = 0;
+        uint32_t thresh = bins;     /* > any score: take every live row */
+        for (uint32_t b = 0; b < bins; b++) {
+            cum += h[b];
+            if (cum >= l) { thresh = b; below = cum - h[b]; break; }
+        }
+        uint64_t need_eq = (thresh < bins) ? (uint64_t)l - below : t->n_live;
+        uint32_t filled = 0;
+        for (uint64_t r = 0; r < n && filled < l; r++) {
+            uint16_t s = sr[r];
+            if (s == DEAD16) continue;
+            if (thresh < bins) {
+                if (s > thresh) continue;
+                if (s == thresh) {
+                    if (!need_eq) continue;
+                    need_eq--;
+                }
+            }
+            t->keys[filled++] = ((uint64_t)s << 32) | (uint32_t)r;
+        }
+        qsort(t->keys, filled, 8, cmp_u64);
+        int32_t *oi = t->out_ids + (size_t)qi * l;
+        int32_t *os = t->out_scores + (size_t)qi * l;
+        for (uint32_t i = 0; i < filled; i++) {
+            oi[i] = (int32_t)(t->keys[i] & 0xFFFFFFFFu);
+            os[i] = (int32_t)(t->keys[i] >> 32);
+        }
+        for (uint32_t i = filled; i < l; i++) {
+            oi[i] = -1;
+            os[i] = INT32_MAX;
+        }
+    }
+    return NULL;
+}
+
 /* Scores every corpus row against every query and writes the exact
  * per-query top-L by (score, row id) ascending.  out_ids: -1 pad,
  * out_scores: INT32_MAX pad.  Returns the number of live (non-dead)
@@ -234,6 +287,7 @@ static int cmp_u64(const void *a, const void *b) {
  *   dead    uint8  [n] or NULL  nonzero = tombstoned/not-yet-live
  *   out_ids/out_scores int32 [q, l]
  *   threads pass-1 row-range split (per-thread histograms merged here)
+ *           and pass-2 query-range split (per-thread key buffers)
  */
 int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
                         const uint32_t *qwords, uint32_t q,
@@ -245,10 +299,11 @@ int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
     if (threads < 1) threads = 1;
     if ((uint64_t)threads > n) threads = (int)n;
 
+    if (threads > 64) threads = 64;
     uint16_t *scores = (uint16_t *)malloc((size_t)q * n * 2);
     uint32_t *hist =
         (uint32_t *)calloc((size_t)threads * q * bins, 4);
-    uint64_t *keys = (uint64_t *)malloc((size_t)l * 8);
+    uint64_t *keys = (uint64_t *)malloc((size_t)threads * l * 8);
     if (!scores || !hist || !keys) {
         free(scores); free(hist); free(keys);
         return -1;
@@ -261,7 +316,6 @@ int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
 #endif
     pass1_t tasks[64];
     pthread_t tids[64];
-    if (threads > 64) threads = 64;
     uint64_t per = (n + threads - 1) / threads;
     for (int t = 0; t < threads; t++) {
         tasks[t] = (pass1_t){words, qwords, dead, scores,
@@ -282,42 +336,22 @@ int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
     if (dead)
         for (uint64_t r = 0; r < n; r++) n_live -= (dead[r] != 0);
 
-    for (uint32_t qi = 0; qi < q; qi++) {
-        const uint32_t *h = hist + (size_t)qi * bins;
-        const uint16_t *sr = scores + (size_t)qi * n;
-        /* threshold: smallest score t with cumcount(<=t) >= l */
-        uint64_t cum = 0, below = 0;
-        uint32_t thresh = bins;         /* > any score: take every live row */
-        for (uint32_t b = 0; b < bins; b++) {
-            cum += h[b];
-            if (cum >= l) { thresh = b; below = cum - h[b]; break; }
-        }
-        uint64_t need_eq = (thresh < bins) ? (uint64_t)l - below : n_live;
-        uint32_t filled = 0;
-        for (uint64_t r = 0; r < n && filled < l; r++) {
-            uint16_t s = sr[r];
-            if (s == DEAD16) continue;
-            if (thresh < bins) {
-                if (s > thresh) continue;
-                if (s == thresh) {
-                    if (!need_eq) continue;
-                    need_eq--;
-                }
-            }
-            keys[filled++] = ((uint64_t)s << 32) | (uint32_t)r;
-        }
-        qsort(keys, filled, 8, cmp_u64);
-        int32_t *oi = out_ids + (size_t)qi * l;
-        int32_t *os = out_scores + (size_t)qi * l;
-        for (uint32_t i = 0; i < filled; i++) {
-            oi[i] = (int32_t)(keys[i] & 0xFFFFFFFFu);
-            os[i] = (int32_t)(keys[i] >> 32);
-        }
-        for (uint32_t i = filled; i < l; i++) {
-            oi[i] = -1;
-            os[i] = INT32_MAX;
-        }
+    /* pass 2: per-query threshold + collect + sort, split over queries */
+    int t2 = threads < (int)q ? threads : (int)q;
+    pass2_t sel[64];
+    uint32_t qper = (q + t2 - 1) / t2;
+    for (int t = 0; t < t2; t++) {
+        uint32_t lo = (uint32_t)t * qper;
+        uint32_t hi = lo + qper < q ? lo + qper : q;
+        sel[t] = (pass2_t){hist, scores, out_ids, out_scores,
+                           keys + (size_t)t * l, n, n_live, bins, l,
+                           lo, hi};
+        if (t + 1 < t2)
+            pthread_create(&tids[t], NULL, pass2_run, &sel[t]);
     }
+    pass2_run(&sel[t2 - 1]);
+    for (int t = 0; t + 1 < t2; t++) pthread_join(tids[t], NULL);
+
     free(scores); free(hist); free(keys);
     return (int)(n_live > 0x7FFFFFFF ? 0x7FFFFFFF : n_live);
 }

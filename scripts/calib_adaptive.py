@@ -48,6 +48,9 @@ def main():
 
         points = [(2000, 0), (2000, 40), (1000, 0), (1000, 30), (1000, 40),
                   (1000, 60), (800, 40), (700, 0), (700, 40)]
+        if os.environ.get("CAL_POINTS"):   # "L:margin,L:margin,..."
+            points = [tuple(int(x) for x in p.split(":"))
+                      for p in os.environ["CAL_POINTS"].split(",")]
         for L, margin in points:
             rt = dataclasses.replace(cfg.runtime, rerank_limit=L,
                                      adaptive_decrypt_margin=margin)

@@ -108,9 +108,11 @@ class RuntimeConfig:
     # device link is slow/remote: the built partition table ships to the
     # device once instead of every raw batch making a round trip).
     encode_backend: str = "default"
-    # Ciphertext payload dtype: "f32" (exact) or "f16" (half the bytes —
-    # exact for integer-valued corpora like SIFT, ~1e-3 relative elsewhere;
-    # the decrypt+refine stages are DRAM-bandwidth bound, so this is ~2x).
+    # Ciphertext payload dtype: "f32" (exact), "f16" (half the bytes —
+    # exact for integer-valued corpora like SIFT, ~1e-3 relative elsewhere)
+    # or "i8" (quarter the bytes — symmetric per-row int8 with an
+    # in-ciphertext f32 scale, ~0.4% relative; the decrypt+refine stages
+    # are DRAM-bandwidth bound, so payload bytes are ~linear in cost).
     storage_dtype: str = "f32"
     # Adaptive per-query decrypt budget (scan mode): when margin > 0 the
     # scan also returns n_dec[q] = |{i : score_i <= score_anchor + margin}|

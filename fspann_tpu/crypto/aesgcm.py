@@ -131,7 +131,7 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
                              dim: int, pt_flat: np.ndarray,
                              pt_off: np.ndarray,
                              norms: np.ndarray | None = None,
-                             payload_f16: bool = False) -> np.ndarray:
+                             payload_kind: int = 0) -> np.ndarray:
     """Single-key record open with the 32-byte AAD synthesized in C from
     (id, key_version, dim) — the query hot path.  Building the AAD matrix in
     numpy costs a full DRAM pass over the candidate set; in C it is a stack
@@ -159,7 +159,7 @@ def open_batch_records_by_id(key: "GcmKey", base: np.ndarray,
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         key_version, dim,
         _u8(pt_flat), _u64(np.ascontiguousarray(pt_off, np.uint64)), _u8(ok),
-        norms_ptr, _num_threads(), 1 if payload_f16 else 0)
+        norms_ptr, _num_threads(), int(payload_kind))
     return ok
 
 
@@ -170,7 +170,7 @@ def open_batch_records_scored(key: "GcmKey", base: np.ndarray,
                               dim: int, pt_off: np.ndarray,
                               norms: np.ndarray, dots: np.ndarray,
                               qvecs: np.ndarray, rows_per_query: int,
-                              payload_f16: bool = False) -> np.ndarray:
+                              payload_kind: int = 0) -> np.ndarray:
     """Fused decrypt-and-score: like :func:`open_batch_records_by_id` but the
     plaintext NEVER reaches DRAM — each record is decrypted into an
     L1-resident scratch row, and its squared L2 norm plus the dot product
@@ -199,7 +199,7 @@ def open_batch_records_scored(key: "GcmKey", base: np.ndarray,
         norms.ctypes.data_as(f32p),
         qvecs.ctypes.data_as(f32p), rows_per_query,
         dots.ctypes.data_as(f32p),
-        _num_threads(), 1 if payload_f16 else 0)
+        _num_threads(), int(payload_kind))
     return ok
 
 

@@ -531,15 +531,21 @@ static int open_batch_rec_id_range(const void *ctx,
                                     * refine stage a full re-read pass over
                                     * the candidate matrix.  NULL to skip. */
                                    float *norms,
-                                   /* payload_f16: ciphertext payload is
-                                    * little-endian f16; decrypt lands in a
-                                    * scratch row and is widened to f32 at
-                                    * pt+pt_off[i] (output stride 2*ct_len)
-                                    * in the same L1-resident pass, norms
-                                    * included — replaces the two full numpy
-                                    * passes (convert + re-read for norms)
-                                    * the Python f16 path needed. */
-                                   int payload_f16,
+                                   /* payload_kind: 0 = f32 rows; 1 = f16
+                                    * rows (little-endian halves; decrypt
+                                    * lands in a scratch row and is widened
+                                    * to f32 at pt+pt_off[i] in the same
+                                    * L1-resident pass, norms included —
+                                    * replaces the two full numpy passes
+                                    * the Python f16 path needed); 2 = i8
+                                    * rows with a per-row f32 scale prefix
+                                    * ([scale f32 LE][dim x int8], v_j =
+                                    * scale * q_j) — 4x less arena traffic
+                                    * than f32, dequant fused the same way.
+                                    * The scale rides INSIDE the ciphertext
+                                    * so it is both confidential and tag-
+                                    * authenticated. */
+                                   int payload_kind,
                                    /* fused query scoring: when qvecs is
                                     * non-NULL, also write dots[row] =
                                     * <decrypted f32 row, qvecs[row /
@@ -560,18 +566,26 @@ static int open_batch_rec_id_range(const void *ctx,
     uint8_t *scratch = NULL;
     const int score_only = (pt == NULL);
     /* scratch layout: [ct_len decrypt row | pad | 2*ct_len widened row
-     * (f16)].  The widened row holds floats, so its offset must be
-     * float-aligned even when ct_len (= 2*dim) is not a multiple of 4
-     * (odd dim) — round up to a cache line. */
+     * (f16 score_only)].  The widened row holds floats, so its offset must
+     * be float-aligned even when ct_len (= 2*dim) is not a multiple of 4
+     * (odd dim) — round up to a cache line.  i8 never materializes a
+     * widened row for scoring: norm and dot accumulate straight from the
+     * int8 scratch (norm = s^2 * sum q^2, dot = s * sum q*qv). */
     const size_t wide_off = ((size_t)ct_len + 63) & ~(size_t)63;
-    size_t scratch_need = (payload_f16
-                               ? (score_only ? wide_off + 2 * (size_t)ct_len
-                                             : (size_t)ct_len)
-                               : (score_only ? (size_t)ct_len : 0));
+    size_t scratch_need;
+    if (payload_kind == 1)
+        scratch_need = score_only ? wide_off + 2 * (size_t)ct_len
+                                  : (size_t)ct_len;
+    else if (payload_kind == 2)
+        scratch_need = (size_t)ct_len;
+    else
+        scratch_need = score_only ? (size_t)ct_len : 0;
     if (scratch_need)
         scratch = (scratch_need <= sizeof(scratch_stack))
             ? scratch_stack : (uint8_t *)malloc(scratch_need);
-    const uint64_t row_stride = payload_f16 ? ct_len * 2 : ct_len;
+    /* decoded output rows are always f32 [dim] regardless of payload kind
+     * (f32: ct_len = 4*dim; f16: 2*(2*dim); i8: dim+4 with 4*dim out) */
+    const uint64_t row_stride = 4ull * dim;
     if (scratch_need && scratch == NULL) {
         /* allocation failure: fail the whole range cleanly (ok=0, zeroed
          * plaintext + norms) instead of dereferencing NULL below */
@@ -603,8 +617,8 @@ static int open_batch_rec_id_range(const void *ctx,
         const float *qv = qvecs ? qvecs + (row / rows_per_query)
                                       * (row_stride / 4) : NULL;
         fspann_format_aad(aad, (uint64_t)ids[i], key_version, dim);
-        uint8_t *dst = (payload_f16 || score_only) ? scratch
-                                                   : pt + pt_off[i];
+        uint8_t *dst = (payload_kind != 0 || score_only) ? scratch
+                                                         : pt + pt_off[i];
         int rc = fspann_gcm_open(ctx, rec + iv_rel, aad, 32,
                                  rec + ct_rel, ct_len,
                                  rec + tag_rel, dst);
@@ -619,7 +633,46 @@ static int open_batch_rec_id_range(const void *ctx,
             failures++;
             continue;
         }
-        if (payload_f16) {
+        if (payload_kind == 2) {
+            /* i8 + per-row scale: dequantize/score while the row is in L1.
+             * Sums of q^2 and q*qv accumulate over the int8 lane values;
+             * the scale factors out (norm = s^2*ssq, dot = s*sdot), so the
+             * per-element work is one widen + two FMAs — and the AES above
+             * only processed (dim+4) bytes instead of 4*dim. */
+            float s;
+            memcpy(&s, scratch, 4);
+            const int8_t *qd = (const int8_t *)(scratch + 4);
+            const size_t nd = (size_t)ct_len - 4;   /* == dim */
+            float *o = score_only ? NULL : (float *)(pt + pt_off[i]);
+            int64_t ssq = 0;
+            float sd0 = 0.f, sd1 = 0.f, sd2 = 0.f, sd3 = 0.f;
+            size_t j = 0;
+            for (; j + 4 <= nd; j += 4) {
+                int32_t q0 = qd[j], q1 = qd[j + 1],
+                        q2 = qd[j + 2], q3 = qd[j + 3];
+                ssq += (int64_t)(q0 * q0 + q1 * q1 + q2 * q2 + q3 * q3);
+                if (o) {
+                    o[j] = s * (float)q0;
+                    o[j + 1] = s * (float)q1;
+                    o[j + 2] = s * (float)q2;
+                    o[j + 3] = s * (float)q3;
+                }
+                if (qv) {
+                    sd0 += (float)q0 * qv[j];
+                    sd1 += (float)q1 * qv[j + 1];
+                    sd2 += (float)q2 * qv[j + 2];
+                    sd3 += (float)q3 * qv[j + 3];
+                }
+            }
+            for (; j < nd; j++) {
+                int32_t q0 = qd[j];
+                ssq += (int64_t)(q0 * q0);
+                if (o) o[j] = s * (float)q0;
+                if (qv) sd0 += (float)q0 * qv[j];
+            }
+            if (norms) norms[row] = s * s * (float)ssq;
+            if (qv) dots[row] = s * (sd0 + sd1 + sd2 + sd3);
+        } else if (payload_kind == 1) {
             /* widen f16 -> f32 while the row is in L1, norms fused */
             const uint16_t *h = (const uint16_t *)scratch;
             float *o = score_only ? (float *)(scratch + wide_off)
@@ -734,7 +787,7 @@ typedef struct {
     const uint64_t *pt_off;
     uint8_t *ok;
     float *norms;
-    int payload_f16;
+    int payload_kind;
     const float *qvecs;
     uint64_t rows_per_query;
     float *dots;
@@ -746,7 +799,7 @@ static void *open_worker(void *p) {
     t->failures = open_batch_rec_id_range(
         t->ctx, t->lo, t->hi, t->base, t->rec_off, t->iv_rel, t->ct_rel,
         t->tag_rel, t->ct_len, t->ids, t->key_version, t->dim, t->pt,
-        t->pt_off, t->ok, t->norms, t->payload_f16, t->qvecs,
+        t->pt_off, t->ok, t->norms, t->payload_kind, t->qvecs,
         t->rows_per_query, t->dots);
     return NULL;
 }
@@ -766,13 +819,13 @@ static int open_batch_rec_id_impl(const void *ctx, size_t n,
                                   uint32_t dim,
                                   uint8_t *pt, const uint64_t *pt_off,
                                   uint8_t *ok, float *norms, int nthreads,
-                                  int payload_f16, const float *qvecs,
+                                  int payload_kind, const float *qvecs,
                                   uint64_t rows_per_query, float *dots) {
     if (nthreads <= 1 || n < 1024) {
         return open_batch_rec_id_range(ctx, 0, n, base, rec_off, iv_rel,
                                        ct_rel, tag_rel, ct_len, ids,
                                        key_version, dim, pt, pt_off, ok,
-                                       norms, payload_f16, qvecs,
+                                       norms, payload_kind, qvecs,
                                        rows_per_query, dots);
     }
     enum { MAX_THREADS = 64 };
@@ -787,14 +840,14 @@ static int open_batch_rec_id_impl(const void *ctx, size_t n,
         size_t hi = lo + per < n ? lo + per : n;
         open_task task = {ctx, lo, hi, base, rec_off, iv_rel, ct_rel,
                           tag_rel, ct_len, ids, key_version, dim, pt,
-                          pt_off, ok, norms, payload_f16, qvecs,
+                          pt_off, ok, norms, payload_kind, qvecs,
                           rows_per_query, dots, 0};
         tasks[t] = task;
         if (t == nthreads - 1 || hi == n) {
             /* run the last slice on the calling thread */
             tasks[t].failures = open_batch_rec_id_range(
                 ctx, lo, hi, base, rec_off, iv_rel, ct_rel, tag_rel, ct_len,
-                ids, key_version, dim, pt, pt_off, ok, norms, payload_f16,
+                ids, key_version, dim, pt, pt_off, ok, norms, payload_kind,
                 qvecs, rows_per_query, dots);
             spawned = t;
             break;
@@ -817,11 +870,11 @@ int fspann_gcm_open_batch_rec_id(const void *ctx, size_t n,
                                  uint32_t dim,
                                  uint8_t *pt, const uint64_t *pt_off,
                                  uint8_t *ok, float *norms, int nthreads,
-                                 int payload_f16) {
+                                 int payload_kind) {
     return open_batch_rec_id_impl(ctx, n, base, rec_off, iv_rel, ct_rel,
                                   tag_rel, ct_len, ids, key_version, dim,
                                   pt, pt_off, ok, norms, nthreads,
-                                  payload_f16, NULL, 1, NULL);
+                                  payload_kind, NULL, 1, NULL);
 }
 
 /* Fused decrypt-and-score (the serving stage-B hot path): per record,
@@ -838,11 +891,11 @@ int fspann_gcm_open_batch_rec_id_scored(
         uint32_t key_version, uint32_t dim, uint8_t *pt,
         const uint64_t *pt_off, uint8_t *ok, float *norms,
         const float *qvecs, uint64_t rows_per_query, float *dots,
-        int nthreads, int payload_f16) {
+        int nthreads, int payload_kind) {
     return open_batch_rec_id_impl(ctx, n, base, rec_off, iv_rel, ct_rel,
                                   tag_rel, ct_len, ids, key_version, dim,
                                   pt, pt_off, ok, norms, nthreads,
-                                  payload_f16, qvecs,
+                                  payload_kind, qvecs,
                                   rows_per_query ? rows_per_query : 1, dots);
 }
 

@@ -1,7 +1,9 @@
 """Encrypted point store: versioned arenas + metadata log + batch crypto.
 
 This layer is the reference's ``AesGcmCryptoService`` + ``RocksDBMetadataManager``
-pair fused around batches: vectors are serialized as little-endian float32,
+pair fused around batches: vectors are serialized in the storage dtype
+(little-endian f32, f16, or per-row-scaled i8 — the quantized kinds cut
+the decrypt stage's arena traffic 2x/4x on a bandwidth-bound host),
 sealed with AES-256-GCM under AAD ``id:{id}|v:{kv}|d:{dim}`` (reference
 crypto/AesGcmCryptoService.java:72-83), appended to the key version's arena,
 then committed via the metadata log.  Candidate loading is the query hot
@@ -76,14 +78,23 @@ def _locked(method):
 class PointStore:
     def __init__(self, base_dir: str, key_manager: KeyManager, dim: int,
                  dtype: str = "f32"):
-        if dtype not in ("f32", "f16"):
-            raise ValueError(f"storage dtype must be f32|f16, got {dtype!r}")
+        if dtype not in ("f32", "f16", "i8"):
+            raise ValueError(
+                f"storage dtype must be f32|f16|i8, got {dtype!r}")
         self.base_dir = base_dir
         self.km = key_manager
         self.dim = dim
         self.dtype = dtype
-        self.itemsize = 4 if dtype == "f32" else 2
-        self.np_dtype = "<f4" if dtype == "f32" else "<f2"
+        self.itemsize = {"f32": 4, "f16": 2, "i8": 1}[dtype]
+        self.np_dtype = {"f32": "<f4", "f16": "<f2", "i8": "<i1"}[dtype]
+        # payload kind for the C open loop (aes_gcm.c payload_kind):
+        # 0 = f32 rows, 1 = f16 rows, 2 = i8 rows with an in-ciphertext
+        # per-row f32 scale prefix (v_j = scale * q_j, scale = max|v|/127 —
+        # the scale is confidential AND tag-authenticated because it rides
+        # inside the sealed payload, not the record header)
+        self._payload_kind = {"f32": 0, "f16": 1, "i8": 2}[dtype]
+        # serialized payload length: i8 rows carry the 4-byte scale prefix
+        self._body = dim + 4 if dtype == "i8" else self.itemsize * dim
         self.points_dir = os.path.join(base_dir, "points")
         os.makedirs(self.points_dir, exist_ok=True)
         self.meta = MetadataLog(os.path.join(base_dir, "meta.log"))
@@ -146,14 +157,33 @@ class PointStore:
 
     @property
     def record_ct_len(self) -> int:
-        return self.itemsize * self.dim + TAG_LEN
+        return self._body + TAG_LEN
+
+    def _quantize_i8(self, vecs: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Symmetric per-row int8 quantization: scale = max|v|/127 so the
+        row maximum maps to ±127 exactly — which makes re-quantization of a
+        dequantized row IDEMPOTENT (re-encryption sweeps do decrypt →
+        re-insert and must not drift).  Returns (scales f32 [n], q int8
+        [n, dim])."""
+        vecs = np.asarray(vecs, np.float32)
+        amax = np.abs(vecs).max(axis=1)
+        scales = (amax / np.float32(127.0)).astype(np.float32)
+        safe = np.where(scales > 0, scales, np.float32(1.0))
+        q = np.clip(np.rint(vecs / safe[:, None]), -127, 127).astype(np.int8)
+        return scales, q
 
     def quantize(self, vecs: np.ndarray) -> np.ndarray:
         """Round-trip vectors through the storage dtype (so routing codes
         computed at build time match what restore will decode)."""
         if self.dtype == "f32":
             return np.asarray(vecs, np.float32)
-        return np.asarray(vecs, np.float32).astype("<f2").astype(np.float32)
+        if self.dtype == "f16":
+            return np.asarray(vecs, np.float32).astype("<f2").astype(
+                np.float32)
+        scales, q = self._quantize_i8(vecs)
+        # f32 multiply, same order as the C dequant loop (s * (float)q)
+        return scales[:, None] * q.astype(np.float32)
 
     # -- writes ----------------------------------------------------------------
 
@@ -174,9 +204,16 @@ class PointStore:
         if vecs.shape != (n, self.dim):
             raise ValueError(f"expected vecs [{n}, {self.dim}], got {vecs.shape}")
 
-        body = self.itemsize * self.dim
-        pt = np.frombuffer(vecs.astype(self.np_dtype).tobytes(),
-                           np.uint8).copy()
+        body = self._body
+        if self.dtype == "i8":
+            scales, qrows = self._quantize_i8(vecs)
+            payload = np.empty((n, body), np.uint8)
+            payload[:, :4] = scales.astype("<f4").view(np.uint8).reshape(n, 4)
+            payload[:, 4:] = qrows.view(np.uint8)
+            pt = payload.reshape(-1)
+        else:
+            pt = np.frombuffer(vecs.astype(self.np_dtype).tobytes(),
+                               np.uint8).copy()
         lens = np.full(n, body, np.uint64)
         offs = np.arange(n, dtype=np.uint64) * body
         ivs = np.frombuffer(secrets.token_bytes(12 * n), np.uint8
@@ -286,13 +323,13 @@ class PointStore:
         # output matrix — no gather copies (this host is DRAM-bandwidth
         # bound, so every avoided pass over the candidate set is ~linear
         # speedup).
-        body = self.itemsize * self.dim
+        body = self._body
         iv_rel = 20            # arena record: 20-byte header, then iv
         ct_rel = 32
         tag_rel = 32 + body
-        # output staging is ALWAYS the f32 matrix: for f16 payloads the C
-        # loop decrypts into an L1 scratch row and widens f16->f32 (F16C)
-        # with norms fused — no separate convert or norm pass
+        # output staging is ALWAYS the f32 matrix: for f16/i8 payloads the
+        # C loop decrypts into an L1 scratch row and widens/dequantizes to
+        # f32 with norms fused — no separate convert or norm pass
         staging = vecs.reshape(-1).view(np.uint8)
         out_body = 4 * self.dim
         for kv in versions:
@@ -319,7 +356,7 @@ class PointStore:
                 iv_rel, ct_rel, tag_rel, body,
                 ids[sel], int(kv), self.dim,
                 staging, (dest * out_body).astype(np.uint64),
-                norms=norms_out, payload_f16=self.dtype == "f16")
+                norms=norms_out, payload_kind=self._payload_kind)
             ok[sel] = ok_v.astype(bool)
         return vecs, ok
 
@@ -371,7 +408,7 @@ class PointStore:
         kv_all, off_all = self.meta.lookup_batch(ids)
         present = kv_all > 0
         versions = np.unique(kv_all[present]) if present.any() else []
-        body = self.itemsize * self.dim
+        body = self._body
         iv_rel, ct_rel = 20, 32
         tag_rel = 32 + body
         out_body = 4 * self.dim
@@ -392,7 +429,7 @@ class PointStore:
                 ids[sel], int(kv), self.dim,
                 (dest * out_body).astype(np.uint64),
                 norms_out, dots_out, qvecs, rows_per_query,
-                payload_f16=self.dtype == "f16")
+                payload_kind=self._payload_kind)
             ok[sel] = ok_v.astype(bool)
         # absent/pad/tombstoned slots never reach the C loop: zero them here
         # so reused staging buffers cannot leak a previous batch's values

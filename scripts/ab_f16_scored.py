@@ -1,11 +1,11 @@
-"""A/B: fused decrypt-and-score (load_score_batch) with f32 vs f16 payloads.
+"""A/B: fused decrypt-and-score (load_score_batch) with f32/f16/i8 payloads.
 
 The pre-fusion f16 path lost on this DRAM-starved host because the widened
 f32 row had to be WRITTEN to the staging matrix (a full extra DRAM pass).
 The fused scored path (aes_gcm.c:534-556) decrypts into stack scratch and
 widens in L1 — the only DRAM traffic per open is the arena record READ,
-which f16 halves (264B vs 528B at 128-d).  This measures whether f16 now
-wins stage B outright.
+which f16 halves (272B vs 528B at 128-d) and i8 quarters (148B).  This
+measures whether the quantized payloads win stage B outright.
 
 Usage: JAX_PLATFORMS=cpu python scripts/ab_f16_scored.py [N] [OPENS] [REPS]
 """
@@ -62,7 +62,8 @@ def main():
 
     work = tempfile.mkdtemp(prefix="fspann_abf16_")
     try:
-        for dtype in ("f32", "f16"):
+        body = {"f32": 4 * d, "f16": 2 * d, "i8": d + 4}
+        for dtype in ("f32", "f16", "i8"):
             t0 = time.perf_counter()
             store = build_store(work, dtype, dtype, vecs)
             build_s = time.perf_counter() - t0
@@ -72,7 +73,7 @@ def main():
             if dtype == "f32":
                 top_ref, d2_ref = top, d2
             ms_q = wall * 1000.0 / q
-            mbps = opens * (d * (4 if dtype == "f32" else 2) + 16) / wall / 1e6
+            mbps = opens * (body[dtype] + 16) / wall / 1e6
             agree = np.mean([len(set(ids.reshape(q, r)[i, top[i]]) &
                                  set(ids.reshape(q, r)[i, top_ref[i]]))
                              for i in range(q)]) / 100.0

@@ -1,0 +1,139 @@
+"""i8 ciphertext storage: roundtrip, requant idempotence, fused scoring,
+re-encryption drift, E2E recall + restore determinism.
+
+The i8 payload is symmetric per-row int8 with an f32 scale prefix riding
+INSIDE the sealed ciphertext ([scale][dim x int8], v_j = scale * q_j) — 4x
+less arena traffic than f32 on a DRAM-bandwidth-bound serving host.
+Reference parity: the reference stores f64 plaintext bytes
+(crypto/AesGcmCryptoService.java:72-83); quantized payloads are a
+beyond-reference storage option, ARCHITECTURE.md "storage dtypes".
+"""
+
+import numpy as np
+
+from fspann_tpu.api.system import ForwardSecureANNSystem
+from fspann_tpu.config import (EvalConfig, PaperConfig, RuntimeConfig,
+                               SystemConfig)
+from fspann_tpu.crypto.keys import KeyManager
+from fspann_tpu.io import groundtruth
+from fspann_tpu.store.point_store import PointStore
+
+DIM = 16
+
+
+def i8_cfg():
+    return SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=600, max_global_candidates=600,
+                              block_size=32, storage_dtype="i8"),
+        eval=EvalConfig(k_variants=(1, 10)),
+    ).validate()
+
+
+def test_store_i8_roundtrip(tmp_path, rng):
+    km = KeyManager(str(tmp_path / "ks"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8, dtype="i8")
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    vq = s.quantize(vecs)
+    s.insert_batch(np.arange(50), vecs)
+    out, ok = s.load_decrypt_batch(np.arange(50))
+    assert ok.all()
+    np.testing.assert_array_equal(out, vq)     # exact dequant roundtrip
+    # per-row relative error bound: |err| <= 0.5 * scale = max|v| / 254
+    amax = np.abs(vecs).max(axis=1, keepdims=True)
+    assert (np.abs(out - vecs) <= amax / 254 + 1e-7).all()
+    # record is (dim + 4 scale bytes) + tag
+    assert s.record_ct_len == 8 + 4 + 16
+    s.close()
+
+
+def test_i8_requantization_idempotent(tmp_path, rng):
+    """quantize(quantize(v)) == quantize(v): the row max maps to +-127
+    exactly, so a re-encryption sweep (decrypt -> insert under a new key)
+    cannot drift the stored values, no matter how many rotations run."""
+    km = KeyManager(str(tmp_path / "ks"))
+    s = PointStore(str(tmp_path / "db"), km, dim=24, dtype="i8")
+    vecs = rng.normal(size=(200, 24)).astype(np.float32) * \
+        rng.uniform(0.01, 100, size=(200, 1)).astype(np.float32)
+    vecs[0] = 0.0                               # all-zero row: scale 0
+    once = s.quantize(vecs)
+    np.testing.assert_array_equal(s.quantize(once), once)
+
+    # end-to-end: three re-encryption sweeps leave the payload bit-stable
+    s.insert_batch(np.arange(200), vecs)
+    first, ok = s.load_decrypt_batch(np.arange(200))
+    assert ok.all()
+    for _ in range(3):
+        km.rotate()
+        rep = s.reencrypt_all()
+        assert rep.failed == 0
+    final, ok = s.load_decrypt_batch(np.arange(200))
+    assert ok.all()
+    np.testing.assert_array_equal(final, first)
+    s.close()
+
+
+def test_i8_fused_norms_and_dots_match(tmp_path, rng):
+    """The C loop's fused int8 dequant + norm/dot accumulation (norm =
+    s^2 * sum q^2 over int64, dot = s * sum q*qv) matches a recompute,
+    including the scalar tail at odd dims and zeroed missing-id slots."""
+    dim = 19                                    # odd: exercises tail loop
+    km = KeyManager(str(tmp_path / "ksn"))
+    store = PointStore(str(tmp_path / "dbn"), km, dim=dim, dtype="i8")
+    vecs = (rng.normal(size=(64, dim)) * 8).astype(np.float32)
+    vecs[3, :4] = [0.0, 1e-4, -1e-4, 3.14159]
+    store.insert_batch(np.arange(64), vecs)
+    vq = store.quantize(vecs)
+
+    ids = np.concatenate([np.arange(64), [999]])   # one missing id
+    norms = np.zeros(len(ids), np.float32)
+    got, ok = store.load_decrypt_batch(ids, norms_out=norms)
+    assert ok[:64].all() and not ok[64]
+    np.testing.assert_array_equal(got[:64], vq)
+    np.testing.assert_allclose(norms[:64], (vq * vq).sum(axis=1), rtol=1e-5)
+    assert (got[64] == 0).all() and norms[64] == 0
+
+    # fused decrypt-and-score: plaintext never reaches DRAM
+    qvecs = rng.normal(size=(5, dim)).astype(np.float32)
+    n = 65
+    rows_per_query = 13
+    norms2 = np.zeros(n, np.float32)
+    dots2 = np.zeros(n, np.float32)
+    ok2 = store.load_score_batch(ids, qvecs, rows_per_query, norms2, dots2)
+    assert ok2[:64].all() and not ok2[64]
+    np.testing.assert_allclose(norms2[:64], (vq * vq).sum(axis=1), rtol=1e-5)
+    want_dots = np.einsum("ij,ij->i", vq,
+                          qvecs[np.arange(64) // rows_per_query])
+    np.testing.assert_allclose(dots2[:64], want_dots, rtol=1e-4, atol=1e-4)
+    assert norms2[64] == 0 and dots2[64] == 0
+    store.close()
+
+
+def test_i8_e2e_recall_and_restore(tmp_path, rng):
+    centers = rng.normal(size=(16, DIM)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, 1500)] + \
+        rng.normal(size=(1500, DIM)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, 10)] + \
+        rng.normal(size=(10, DIM)).astype(np.float32)
+
+    sys1 = ForwardSecureANNSystem(i8_cfg(), str(tmp_path / "db"), DIM,
+                                  query_batch=8)
+    sys1.index_stream(base, batch_size=500)
+    sys1.finalize_for_search()
+    gtm = groundtruth.precompute(base, queries, k=10)
+    agg = sys1.run_queries(queries, gtm, base)
+    assert agg.recall_at_k[10] > 0.9
+    assert agg.ratio_at_k[10] < 1.05
+    tok = sys1.create_token(queries[0], 10)
+    res1 = sys1.search(tok)
+    sys1.shutdown()
+
+    # restore determinism holds because staging quantized through i8
+    sys2 = ForwardSecureANNSystem(i8_cfg(), str(tmp_path / "db"), DIM,
+                                  query_batch=8)
+    try:
+        assert sys2.restore_index_from_disk() == 1500
+        res2 = sys2.search(sys2.create_token(queries[0], 10))
+        assert [r.id for r in res1] == [r.id for r in res2]
+    finally:
+        sys2.shutdown()

@@ -50,7 +50,8 @@ class DistributedEncryptedSystem:
             retention_max=cfg.keys.retention_max)
         self.store = ShardedPointStore(base_dir, self.km, dim,
                                        num_shards=self.ndev,
-                                       placement="range")
+                                       placement="range",
+                                       dtype=cfg.runtime.storage_dtype)
         # full rotation lifecycle over the sharded store — same service +
         # background daemon as the single-chip facade (the sharded store's
         # meta view satisfies the same surface)
@@ -93,7 +94,10 @@ class DistributedEncryptedSystem:
         """Encrypt + persist the corpus into shard-aligned arenas and build
         the mesh routing tables.  The plaintext is NOT kept in device HBM
         (keep_base=False).  ``capacity`` reserves live-insert headroom."""
-        base = np.asarray(base, np.float32)
+        # quantize through the storage dtype FIRST so the routing state is
+        # computed on exactly what a decrypt pass will decode (same
+        # discipline as the single-chip facade, api/system.py:110)
+        base = self.store.quantize(np.asarray(base, np.float32))
         self.n = len(base)
         pp = self.cfg.paper
         bank = coding.build_bank_from_sample(
@@ -123,7 +127,7 @@ class DistributedEncryptedSystem:
                                "routing_mode='scan'")
         if self.index is None:
             raise RuntimeError("build() before insert_live")
-        vecs = np.asarray(vecs, np.float32)
+        vecs = self.store.quantize(np.asarray(vecs, np.float32))
         ids = self.index.append_scan_rows(vecs)
         self.store.insert_batch(ids, vecs)
         self.n = self.index.n
@@ -167,7 +171,8 @@ class DistributedEncryptedSystem:
         buf: list[np.ndarray] = []
         buffered = 0
         for c in chunks:
-            buf.append(np.ascontiguousarray(c, np.float32))
+            buf.append(self.store.quantize(np.ascontiguousarray(
+                c, np.float32)))
             buffered += len(buf[-1])
             if buffered >= min(sample, n_total):
                 break
@@ -185,7 +190,10 @@ class DistributedEncryptedSystem:
             import itertools
             pos = 0
             for c in itertools.chain(buf, chunks):
-                c = np.ascontiguousarray(c, np.float32)
+                # quantize is idempotent, so re-quantizing buffered
+                # (already-quantized) chunks is exact
+                c = self.store.quantize(np.ascontiguousarray(
+                    c, np.float32))
                 ids = np.arange(pos, pos + len(c), dtype=np.int64)
                 self.store.insert_batch(ids, c)   # encrypt + persist
                 pos += len(c)

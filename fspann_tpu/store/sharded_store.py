@@ -67,21 +67,29 @@ class _ShardedMetaView:
 class ShardedPointStore:
     def __init__(self, base_dir: str, km: KeyManager, dim: int,
                  num_shards: int = 4,
-                 placement: str = "hash"):
+                 placement: str = "hash", dtype: str = "f32"):
         """placement: 'hash' (reference behavior, id-hash routing) or
         'range' (contiguous blocks — aligns shard s with device s of a
-        corpus-sharded mesh; requires set_range_size)."""
+        corpus-sharded mesh; requires set_range_size).  dtype: ciphertext
+        payload dtype (f32|f16|i8), same semantics as PointStore."""
         if num_shards <= 0:
             raise ValueError("num_shards must be > 0")
         self.num_shards = num_shards
         self.placement = placement
         self.range_size = 0
         self.dim = dim
+        self.dtype = dtype
         self.shards = [
-            PointStore(os.path.join(base_dir, f"shard{s:03d}"), km, dim)
+            PointStore(os.path.join(base_dir, f"shard{s:03d}"), km, dim,
+                       dtype=dtype)
             for s in range(num_shards)
         ]
         self.meta = _ShardedMetaView(self)
+
+    def quantize(self, vecs: np.ndarray) -> np.ndarray:
+        """Round-trip vectors through the storage dtype (routing codes
+        computed at build time must match what a decrypt-rebuild decodes)."""
+        return self.shards[0].quantize(vecs)
 
     def set_range_size(self, rows_per_shard: int) -> None:
         self.range_size = rows_per_shard

@@ -137,3 +137,47 @@ def test_i8_e2e_recall_and_restore(tmp_path, rng):
         assert [r.id for r in res1] == [r.id for r in res2]
     finally:
         sys2.shutdown()
+
+
+def test_mesh_i8_scan_recall_and_stream_equality(tmp_path, rng):
+    """DistributedEncryptedSystem with i8 payloads: the mesh quantizes
+    through the storage dtype BEFORE encoding (codes match what decrypt
+    decodes), serving recall holds, and streamed build == one-shot build."""
+    import jax
+    import pytest
+    from fspann_tpu.parallel.serving import DistributedEncryptedSystem
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+
+    n, d, q, k = 2048, 16, 6, 10
+    centers = rng.normal(size=(16, d)).astype(np.float32) * 5
+    base = centers[rng.integers(0, 16, n)] + \
+        rng.normal(size=(n, d)).astype(np.float32)
+    queries = centers[rng.integers(0, 16, q)] + \
+        rng.normal(size=(q, d)).astype(np.float32)
+
+    cfg = SystemConfig(
+        paper=PaperConfig(m=8, lam=2, divisions=2, tables=3, seed=13),
+        runtime=RuntimeConfig(refinement_limit=600, max_global_candidates=600,
+                              block_size=32, routing_mode="scan",
+                              storage_dtype="i8")).validate()
+    s1 = DistributedEncryptedSystem(cfg, str(tmp_path / "one"), d)
+    s2 = DistributedEncryptedSystem(cfg, str(tmp_path / "str"), d)
+    try:
+        assert s1.store.dtype == "i8"
+        s1.build(base)
+        ids, dists = s1.search_batch(queries, k)
+        d2 = ((base[None] - queries[:, None]) ** 2).sum(-1)
+        gt = np.argsort(d2, axis=1)[:, :k]
+        hits = sum(len(set(ids[i]) & set(gt[i])) for i in range(q))
+        assert hits / (q * k) > 0.9
+
+        # streamed build must reproduce the one-shot results bit-exactly
+        s2.index_stream((base[s:s + 512] for s in range(0, n, 512)),
+                        n_total=n)
+        ids2, dists2 = s2.search_batch(queries, k)
+        np.testing.assert_array_equal(ids, ids2)
+        np.testing.assert_allclose(dists, dists2, rtol=1e-6)
+    finally:
+        s1.close()
+        s2.close()

@@ -13,7 +13,7 @@ equally-hard corpus sits in the same band, so vs_baseline = q/s ÷ 0.699 is
 a throughput ratio at comparable recall, not a recall-for-speed trade.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
-BENCH_BATCH (64), BENCH_DTYPE (f32|f16), BENCH_CORPUS (hard|easy, default
+BENCH_BATCH (64), BENCH_DTYPE (f32|f16|i8), BENCH_CORPUS (hard|easy, default
 hard — the LSH-hard instance, io/synthetic.py), BENCH_PROBES (-1 = profile
 default), BENCH_ROUTING (scan|probe), BENCH_RERANK (decrypt budget L),
 BENCH_PREFLIGHT_S (900), BENCH_SKIP_PREFLIGHT, BENCH_REPEATS (3 — timed

@@ -138,8 +138,9 @@ def main():
         print(f"gt {time.time()-t0:.0f}s", flush=True)
         cfg_path = os.path.join(ROOT, "configs", spec["cfg"])
         only = os.environ.get("FAM_PROFILES")
-        profiles = [p for p in spec["profiles"]
-                    if not only or p in only.split(",")]
+        # an explicit FAM_PROFILES list may name profiles beyond the
+        # default ladder (e.g. new HQ variants from the config file)
+        profiles = only.split(",") if only else spec["profiles"]
         for profile in profiles:
             try:
                 run_profile(fam, base, queries, gtm, cfg_path, profile)

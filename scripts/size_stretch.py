@@ -52,8 +52,13 @@ print(f"  scan compute/chip:    {scan_ms:.1f} ms unpacked / "
       f"{packed_ms:.1f} ms packed per {Q}-query batch "
       f"({packed_ms/Q:.2f} ms/query packed)")
 print(f"  ICI merge payload:    {ici_mb:.1f} MB / batch (all_gather)")
-print(f"  ciphertext (hosts):   {ct_bytes/1e9:.0f} GB sharded arenas")
-print(f"  AES decrypt/query:    {aes_ms_per_core:.1f} ms/core "
+ct_f16 = N * (D * 2 + 46)
+ct_i8 = N * (D + 4 + 46)
+print(f"  ciphertext (hosts):   {ct_bytes/1e9:.0f} GB sharded arenas f32 "
+      f"/ {ct_f16/1e9:.0f} GB f16 / {ct_i8/1e9:.0f} GB i8 "
+      f"(storage_dtype; i8 recall cost ~1.5 pt @10, measured 200k)")
+print(f"  AES decrypt/query:    {aes_ms_per_core:.1f} ms/core f32, "
+      f"{L * (D + 4 + 46) / 1.9e9 * 1e3:.1f} ms/core i8 "
       f"(/= FSPANN_THREADS; adaptive margin cuts ~18% of opens)")
 print(f"  chunked scan keeps intermediates at [Q, {CHUNK}] — no Q "
       f"sub-batching needed at any rows/chip")

@@ -107,9 +107,9 @@ class ForwardSecureANNSystem:
         """Encrypt+persist then stage for routing (reference batchInsert:479;
         rotation check once per batch :531)."""
         self.rotation.rotate_if_needed()
-        vecs = self.store.quantize(vecs)
+        vecs, parts = self.store.quantize_parts(vecs)
         with self.profiler.timed("insert"):
-            self.store.insert_batch(ids, vecs)
+            self.store.insert_batch(ids, vecs, prequant=parts)
             self.index.stage(ids, vecs)
         self.rotation.track_operations(len(ids))
 
@@ -134,10 +134,10 @@ class ForwardSecureANNSystem:
         key rotation covers them like any other point."""
         ids = np.asarray(ids, np.int64)
         self.rotation.rotate_if_needed()
-        vecs = self.store.quantize(vecs)
+        vecs, parts = self.store.quantize_parts(vecs)
         with self.profiler.timed("insert_live"):
             self.index.append_rows(ids, vecs)   # validates first
-            self.store.insert_batch(ids, vecs)
+            self.store.insert_batch(ids, vecs, prequant=parts)
         self.rotation.track_operations(len(ids))
         self._cache_gen += 1
 

@@ -97,7 +97,7 @@ class DistributedEncryptedSystem:
         # quantize through the storage dtype FIRST so the routing state is
         # computed on exactly what a decrypt pass will decode (same
         # discipline as the single-chip facade, api/system.py:110)
-        base = self.store.quantize(np.asarray(base, np.float32))
+        base, parts = self.store.quantize_parts(np.asarray(base, np.float32))
         self.n = len(base)
         pp = self.cfg.paper
         bank = coding.build_bank_from_sample(
@@ -113,7 +113,8 @@ class DistributedEncryptedSystem:
                          keep_bits=self._scan_layout(rows),
                          capacity=capacity)
         self.store.set_range_size(self.index.shard_rows)
-        self.store.insert_batch(np.arange(self.n, dtype=np.int64), base)
+        self.store.insert_batch(np.arange(self.n, dtype=np.int64), base,
+                                prequant=parts)
 
     def insert_live(self, vecs: np.ndarray) -> np.ndarray:
         """Live insert at mesh scale (scan mode): the next global ordinals
@@ -127,9 +128,9 @@ class DistributedEncryptedSystem:
                                "routing_mode='scan'")
         if self.index is None:
             raise RuntimeError("build() before insert_live")
-        vecs = self.store.quantize(np.asarray(vecs, np.float32))
+        vecs, parts = self.store.quantize_parts(np.asarray(vecs, np.float32))
         ids = self.index.append_scan_rows(vecs)
-        self.store.insert_batch(ids, vecs)
+        self.store.insert_batch(ids, vecs, prequant=parts)
         self.n = self.index.n
         return ids
 
@@ -192,10 +193,11 @@ class DistributedEncryptedSystem:
             for c in itertools.chain(buf, chunks):
                 # quantize is idempotent, so re-quantizing buffered
                 # (already-quantized) chunks is exact
-                c = self.store.quantize(np.ascontiguousarray(
+                c, parts = self.store.quantize_parts(np.ascontiguousarray(
                     c, np.float32))
                 ids = np.arange(pos, pos + len(c), dtype=np.int64)
-                self.store.insert_batch(ids, c)   # encrypt + persist
+                # encrypt + persist (prequant: quantize once, not twice)
+                self.store.insert_batch(ids, c, prequant=parts)
                 pos += len(c)
                 yield c
 

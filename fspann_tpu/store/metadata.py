@@ -230,6 +230,16 @@ class MetadataLog:
         pid = int(pid)
         return 0 <= pid < self._cap and self._kv[pid] < 0
 
+    def first_record(self) -> tuple[int, int, int] | None:
+        """(pid, key_version, arena_off) of one existing record — live or
+        tombstoned (tombstoned records still occupy arena bytes) — or None
+        for an empty store.  Used for open-time geometry validation."""
+        idx = np.flatnonzero((self._kv != 0) & (self._off >= 0))
+        if idx.size == 0:
+            return None
+        pid = int(idx[0])
+        return pid, abs(int(self._kv[pid])), int(self._off[pid])
+
     def lookup_batch(self, pids: np.ndarray
                      ) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized: (key_version int32 [n] with 0 = absent/tombstoned,

@@ -108,6 +108,7 @@ class PointStore:
         # and so do we.  Held per batch; contention cost is negligible.
         self._lock = threading.RLock()
         self._gc_stale_arenas()
+        self._validate_payload_geometry()
 
     # -- plumbing --------------------------------------------------------------
 
@@ -173,6 +174,28 @@ class PointStore:
         q = np.clip(np.rint(vecs / safe[:, None]), -127, 127).astype(np.int8)
         return scales, q
 
+    def _validate_payload_geometry(self) -> None:
+        """An arena's record length is a function of the storage dtype it
+        was written under; opening it under a different dtype would read
+        every GCM tag at the wrong offset and fail each open SILENTLY
+        (ok=False rows ⇒ garbage search results with no error anywhere).
+        Check one existing record at open time and fail loudly instead."""
+        live = self.meta.first_record()
+        if live is None:
+            return
+        pid, kv, off = live
+        try:
+            _, _, _, _, ct = self._reader(kv).read_record(off)
+        except (OSError, ValueError):
+            return  # missing/torn arenas are the audit/rebuild paths' job
+        if len(ct) != self.record_ct_len:
+            raise ValueError(
+                f"storage dtype {self.dtype!r} expects "
+                f"{self.record_ct_len}-byte records but arena v{kv} holds "
+                f"{len(ct)}-byte records (point {pid}) — the store was "
+                f"written under a different storage dtype; reopen with the "
+                f"dtype it was built with")
+
     def quantize(self, vecs: np.ndarray) -> np.ndarray:
         """Round-trip vectors through the storage dtype (so routing codes
         computed at build time match what restore will decode)."""
@@ -185,12 +208,30 @@ class PointStore:
         # f32 multiply, same order as the C dequant loop (s * (float)q)
         return scales[:, None] * q.astype(np.float32)
 
+    def quantize_parts(self, vecs: np.ndarray
+                       ) -> tuple[np.ndarray, tuple | None]:
+        """``quantize()`` plus the i8 (scales, q) pair so a following
+        ``insert_batch(prequant=...)`` skips re-quantizing — build ingest
+        quantizes for routing consistency anyway, and a second abs/max/rint
+        pass over every inserted batch is real money on a bandwidth-starved
+        host.  parts is None for f32/f16 (their round trip is a cast)."""
+        if self.dtype != "i8":
+            return self.quantize(vecs), None
+        scales, q = self._quantize_i8(vecs)
+        return scales[:, None] * q.astype(np.float32), (scales, q)
+
     # -- writes ----------------------------------------------------------------
 
     @_locked
     def insert_batch(self, ids: np.ndarray, vecs: np.ndarray,
-                     key_version: int | None = None) -> None:
+                     key_version: int | None = None,
+                     prequant: tuple | None = None) -> None:
         """Encrypt + persist a batch under one key version (default: current).
+
+        ``prequant`` (i8 stores only): the (scales, q) pair from
+        ``quantize_parts`` — callers that already quantized for routing
+        pass it to skip the redundant second quantization pass.  ``vecs``
+        must be the matching dequantized preview (it is not re-checked).
 
         Write order is arena-append → arena fsync → metadata append → fsync:
         the metadata record is the commit point (reference's crash-consistent
@@ -206,7 +247,12 @@ class PointStore:
 
         body = self._body
         if self.dtype == "i8":
-            scales, qrows = self._quantize_i8(vecs)
+            if prequant is not None:
+                scales, qrows = prequant
+                if len(scales) != n or qrows.shape != (n, self.dim):
+                    raise ValueError("prequant shapes disagree with vecs")
+            else:
+                scales, qrows = self._quantize_i8(vecs)
             payload = np.empty((n, body), np.uint8)
             payload[:, :4] = scales.astype("<f4").view(np.uint8).reshape(n, 4)
             payload[:, 4:] = qrows.view(np.uint8)
@@ -280,8 +326,11 @@ class PointStore:
         the AES on this host).
 
         ``norms_out`` (f32 [n]) receives each row's squared L2 norm,
-        computed in the C open loop while the row is in L1 (f32 stores
-        only; rows not ok are undefined — mask by ``ok``).
+        computed in the C open loop while the row is in L1 for every
+        storage dtype (f16 fuses it into the widen pass, i8 into the
+        dequant as s²·Σq²).  Failed-tag rows write 0.0; rows that never
+        reach the open (absent/tombstoned/out-of-bounds) leave their slot
+        untouched — mask by ``ok`` before use.
 
         ``rows`` (int [n], requires ``out``) scatters result row i into
         ``out[rows[i]]`` instead of ``out[i]`` — the sharded store decrypts

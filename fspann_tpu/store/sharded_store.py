@@ -91,6 +91,12 @@ class ShardedPointStore:
         computed at build time must match what a decrypt-rebuild decodes)."""
         return self.shards[0].quantize(vecs)
 
+    def quantize_parts(self, vecs: np.ndarray
+                       ) -> tuple[np.ndarray, tuple | None]:
+        """See PointStore.quantize_parts — parts feed insert_batch(prequant=)
+        so ingest quantizes once, not twice."""
+        return self.shards[0].quantize_parts(vecs)
+
     def set_range_size(self, rows_per_shard: int) -> None:
         self.range_size = rows_per_shard
 
@@ -108,14 +114,18 @@ class ShardedPointStore:
 
     # -- same surface as PointStore, fanned out -------------------------------
 
-    def insert_batch(self, ids, vecs, key_version=None) -> None:
+    def insert_batch(self, ids, vecs, key_version=None,
+                     prequant: tuple | None = None) -> None:
         ids = np.asarray(ids, np.int64)
         vecs = np.asarray(vecs, np.float32)
         shard = self.shard_of(ids)
         for s in range(self.num_shards):
             sel = np.flatnonzero(shard == s)
             if len(sel):
-                self.shards[s].insert_batch(ids[sel], vecs[sel], key_version)
+                sub = None if prequant is None else (prequant[0][sel],
+                                                     prequant[1][sel])
+                self.shards[s].insert_batch(ids[sel], vecs[sel], key_version,
+                                            prequant=sub)
 
     def load_decrypt_batch(self, ids, probe_shards: int | None = None,
                            out: np.ndarray | None = None,

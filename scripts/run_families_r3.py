@@ -129,6 +129,24 @@ def main():
 
     for fam in fams:
         spec = FAMILIES[fam]
+        cfg_path = os.path.join(ROOT, "configs", spec["cfg"])
+        only = os.environ.get("FAM_PROFILES")
+        if only:
+            # an explicit FAM_PROFILES list may name profiles beyond the
+            # default ladder (e.g. new HQ variants from the config file),
+            # but each family runs only the names its OWN config defines —
+            # without the intersection a cross-family list would pay the
+            # hour-scale corpus+GT build just to KeyError on load_config
+            wanted = [p.strip() for p in only.split(",") if p.strip()]
+            with open(cfg_path) as f:
+                avail = set(json.load(f).get("profiles", {}))
+            profiles = [p for p in wanted if p in avail]
+            if not profiles:
+                print(f"=== {fam}: no FAM_PROFILES match, skipped ===",
+                      flush=True)
+                continue
+        else:
+            profiles = spec["profiles"]
         print(f"=== {fam} (d={spec['d']}, n={N}) ===", flush=True)
         t0 = time.time()
         base, queries = gen_corpus(fam, spec["d"])
@@ -136,11 +154,6 @@ def main():
         t0 = time.time()
         gtm = groundtruth.precompute(base, queries, k=100)
         print(f"gt {time.time()-t0:.0f}s", flush=True)
-        cfg_path = os.path.join(ROOT, "configs", spec["cfg"])
-        only = os.environ.get("FAM_PROFILES")
-        # an explicit FAM_PROFILES list may name profiles beyond the
-        # default ladder (e.g. new HQ variants from the config file)
-        profiles = only.split(",") if only else spec["profiles"]
         for profile in profiles:
             try:
                 run_profile(fam, base, queries, gtm, cfg_path, profile)

@@ -109,6 +109,59 @@ def test_i8_fused_norms_and_dots_match(tmp_path, rng):
     store.close()
 
 
+def test_insert_prequant_matches_plain(tmp_path, rng):
+    """quantize_parts + insert_batch(prequant=) (the single-quantization
+    ingest path) stores byte-identical payloads to the plain path."""
+    km = KeyManager(str(tmp_path / "ks"))
+    a = PointStore(str(tmp_path / "a"), km, dim=12, dtype="i8")
+    b = PointStore(str(tmp_path / "b"), km, dim=12, dtype="i8")
+    vecs = (rng.normal(size=(40, 12)) * 7).astype(np.float32)
+    preview, parts = a.quantize_parts(vecs)
+    assert parts is not None
+    np.testing.assert_array_equal(preview, a.quantize(vecs))
+    a.insert_batch(np.arange(40), preview, prequant=parts)
+    b.insert_batch(np.arange(40), vecs)
+    va, oka = a.load_decrypt_batch(np.arange(40))
+    vb, okb = b.load_decrypt_batch(np.arange(40))
+    assert oka.all() and okb.all()
+    np.testing.assert_array_equal(va, vb)
+    # f32/f16 stores have no parts (their round trip is a cast)
+    c = PointStore(str(tmp_path / "c"), km, dim=12, dtype="f32")
+    _, none_parts = c.quantize_parts(vecs)
+    assert none_parts is None
+    # mismatched prequant shapes fail loudly
+    try:
+        a.insert_batch(np.arange(3), preview[:3], prequant=parts)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    for s in (a, b, c):
+        s.close()
+
+
+def test_open_wrong_dtype_fails_loudly(tmp_path, rng):
+    """Reopening an arena under a different storage dtype must raise at
+    open time: record lengths are dtype-derived, so a mismatched open
+    would read every GCM tag at the wrong offset and fail each decrypt
+    SILENTLY (ok=False rows -> garbage results with no error anywhere)."""
+    km = KeyManager(str(tmp_path / "ks"))
+    s = PointStore(str(tmp_path / "db"), km, dim=8, dtype="f32")
+    s.insert_batch(np.arange(10), rng.normal(size=(10, 8)).astype(np.float32))
+    s.close()
+    for wrong in ("f16", "i8"):
+        try:
+            PointStore(str(tmp_path / "db"), km, dim=8, dtype=wrong)
+            raise AssertionError(f"expected ValueError opening as {wrong}")
+        except ValueError as e:
+            assert "storage dtype" in str(e)
+    # the matching dtype (and an empty store under any dtype) opens fine
+    s = PointStore(str(tmp_path / "db"), km, dim=8, dtype="f32")
+    _, ok = s.load_decrypt_batch(np.arange(10))
+    assert ok.all()
+    s.close()
+    PointStore(str(tmp_path / "empty"), km, dim=8, dtype="i8").close()
+
+
 def test_i8_e2e_recall_and_restore(tmp_path, rng):
     centers = rng.normal(size=(16, DIM)).astype(np.float32) * 5
     base = centers[rng.integers(0, 16, 1500)] + \

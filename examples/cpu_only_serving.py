@@ -66,12 +66,17 @@ def main(n=20_000, d=32, q=32):
         sys_.index_stream(base, batch_size=5000)
         sys_.finalize_for_search()
         # native-only serving never builds the device bit matrix: the
-        # packed codes (n x bits/8 bytes) are the whole routing state
-        assert sys_.index._scan_state is None and \
-            sys_.index._scan_codes is not None
+        # packed codes (n x bits/8 bytes) are the whole routing state.
+        # scan_native="auto" falls back to the XLA scan where the kernel
+        # can't build (no cc on the host) — don't assert, report.
+        if sys_.index._scan_state is None and \
+                sys_.index._scan_codes is not None:
+            state = (f"packed codes only "
+                     f"({sys_.index._scan_codes.nbytes/1e6:.1f} MB)")
+        else:
+            state = "device (XLA) bit matrix — native kernel unavailable"
         print(f"indexed {n} pts in {time.perf_counter()-t0:.1f}s; scan "
-              f"state = packed codes only "
-              f"({sys_.index._scan_codes.nbytes/1e6:.1f} MB)")
+              f"state = {state}")
 
         gtm = groundtruth.precompute(base, queries, k=100)
         t0 = time.perf_counter()

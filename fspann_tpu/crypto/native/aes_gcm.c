@@ -832,6 +832,7 @@ static int open_batch_rec_id_impl(const void *ctx, size_t n,
     if (nthreads > MAX_THREADS) nthreads = MAX_THREADS;
     open_task tasks[MAX_THREADS];
     pthread_t tids[MAX_THREADS];
+    int created[MAX_THREADS] = {0};
     size_t per = (n + (size_t)nthreads - 1) / (size_t)nthreads;
     int spawned = 0;
     for (int t = 0; t < nthreads; t++) {
@@ -852,11 +853,19 @@ static int open_batch_rec_id_impl(const void *ctx, size_t n,
             spawned = t;
             break;
         }
-        pthread_create(&tids[t], NULL, open_worker, &tasks[t]);
+        if (pthread_create(&tids[t], NULL, open_worker, &tasks[t]) != 0) {
+            /* failed create (EAGAIN on a loaded host): run the slice
+             * inline — never an undecrypted range or a join on an
+             * uninitialized handle */
+            open_worker(&tasks[t]);
+            created[t] = 0;
+        } else {
+            created[t] = 1;
+        }
     }
     int failures = tasks[spawned].failures;
     for (int t = 0; t < spawned; t++) {
-        pthread_join(tids[t], NULL);
+        if (created[t]) pthread_join(tids[t], NULL);
         failures += tasks[t].failures;
     }
     return failures;

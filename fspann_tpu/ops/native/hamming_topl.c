@@ -316,6 +316,7 @@ int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
 #endif
     pass1_t tasks[64];
     pthread_t tids[64];
+    int spawned[64] = {0};
     uint64_t per = (n + threads - 1) / threads;
     for (int t = 0; t < threads; t++) {
         tasks[t] = (pass1_t){words, qwords, dead, scores,
@@ -323,11 +324,19 @@ int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
                              n, (uint64_t)t * per, 0, w32, q, bins,
                              use_avx512};
         tasks[t].hi = tasks[t].lo + per < n ? tasks[t].lo + per : n;
-        if (t + 1 < threads)
-            pthread_create(&tids[t], NULL, pass1_run, &tasks[t]);
+        if (t + 1 < threads) {
+            /* a failed create (EAGAIN on a loaded host) degrades to
+             * running the range inline — never an unwritten range or a
+             * join on an uninitialized handle */
+            if (pthread_create(&tids[t], NULL, pass1_run, &tasks[t]) == 0)
+                spawned[t] = 1;
+            else
+                pass1_run(&tasks[t]);
+        }
     }
     pass1_run(&tasks[threads - 1]);     /* calling thread takes the tail */
-    for (int t = 0; t + 1 < threads; t++) pthread_join(tids[t], NULL);
+    for (int t = 0; t + 1 < threads; t++)
+        if (spawned[t]) pthread_join(tids[t], NULL);
     for (int t = 1; t < threads; t++)   /* merge per-thread histograms */
         for (size_t i = 0; i < (size_t)q * bins; i++)
             hist[i] += hist[(size_t)t * q * bins + i];
@@ -346,11 +355,17 @@ int fspann_hamming_topl(const uint32_t *words, uint64_t n, uint32_t w32,
         sel[t] = (pass2_t){hist, scores, out_ids, out_scores,
                            keys + (size_t)t * l, n, n_live, bins, l,
                            lo, hi};
-        if (t + 1 < t2)
-            pthread_create(&tids[t], NULL, pass2_run, &sel[t]);
+        spawned[t] = 0;
+        if (t + 1 < t2) {
+            if (pthread_create(&tids[t], NULL, pass2_run, &sel[t]) == 0)
+                spawned[t] = 1;
+            else
+                pass2_run(&sel[t]);     /* inline fallback, own keys slot */
+        }
     }
     pass2_run(&sel[t2 - 1]);
-    for (int t = 0; t + 1 < t2; t++) pthread_join(tids[t], NULL);
+    for (int t = 0; t + 1 < t2; t++)
+        if (spawned[t]) pthread_join(tids[t], NULL);
 
     free(scores); free(hist); free(keys);
     return (int)(n_live > 0x7FFFFFFF ? 0x7FFFFFFF : n_live);

@@ -285,12 +285,16 @@ class QueryService:
         return s.returned < k or s.cand_decrypted < budget
 
     def _dispatch_route(self, tokens, probes, limit):
-        """Stage A dispatch — returns (routed, ids_slice, pred) without
-        blocking.  ``ids_slice`` is the ranked id matrix cut to the
-        predicted live width (previous batch's, pow2-bucketed): the slice
-        executes on the device during pipeline overlap, so the consume side
-        pays one transfer of mostly-live ids instead of a counters round
-        trip + serial slice dispatch + full-width pad transfer."""
+        """Stage A dispatch — returns (routed, ids_slice, width,
+        dispatch_ns).  On device backends this only enqueues work (the
+        pipeline overlaps it with the previous batch's host AES); on the
+        native CPU scan backend the route computes synchronously here and
+        dispatch_ns — charged to the route stage — carries its true cost.
+        ``ids_slice`` is the ranked id matrix cut to the predicted live
+        width (previous batch's, pow2-bucketed): the slice executes on the
+        device during pipeline overlap, so the consume side pays one
+        transfer of mostly-live ids instead of a counters round trip +
+        serial slice dispatch + full-width pad transfer."""
         # host-side stack, NOT device_put: tokens carry numpy codes, and the
         # scan path unpacks them on host anyway — uploading here cost an
         # H2D + D2H + H2D ping-pong per batch over the device link

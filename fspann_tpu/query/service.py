@@ -33,6 +33,11 @@ from ..store.point_store import PointStore
 from ..types import QueryResult, QueryToken, SearchStats
 
 
+class StaleTokenError(ValueError):
+    """A query token's key version is retired/unknown — the caller must
+    re-derive the token under a live key (see QueryToken.derive)."""
+
+
 def _topk_from_d2(d2: np.ndarray, cand_ids: np.ndarray, valid: np.ndarray,
                   k: int):
     """Shared stage-C tail: top-k by squared distance (invalid = inf)."""
@@ -229,19 +234,28 @@ class QueryService:
 
     def _decrypt_queries(self, tokens: list[QueryToken]) -> np.ndarray:
         """Server-side token decrypt under the token's key version
-        (trusted-eval shortcut, reference QueryServiceImpl.java:124-135
-        with current-version fallback).  ONE multi-key batch open for the
-        whole token batch — the per-token Python loop was ~0.5 ms/batch of
-        pure interpreter overhead on the serving path."""
+        (trusted-eval shortcut, reference QueryServiceImpl.java:124-135).
+        A token whose key version is not live fails with an explicit
+        StaleTokenError — the reference substitutes the current version
+        there, which only defers the failure to an undiagnosable
+        "tag verification failed" downstream (the token was sealed under a
+        different key).  ONE multi-key batch open for the whole token
+        batch — the per-token Python loop was ~0.5 ms/batch of pure
+        interpreter overhead on the serving path."""
         from ..crypto import aesgcm
 
         n = len(tokens)
         versions: list[int] = []
         keys = []
         key_idx = np.empty(n, np.uint32)
+        live = self.km.live_versions()
         for i, t in enumerate(tokens):
-            kv = t.key_version if t.key_version in self.km.live_versions() \
-                else self.km.current_version
+            kv = t.key_version
+            if kv not in live:
+                raise StaleTokenError(
+                    f"query token key version {kv} is retired or unknown "
+                    f"(current: v{self.km.current_version}); re-derive the "
+                    f"token under a live key")
             if kv not in versions:
                 versions.append(kv)
                 keys.append(self.km.gcm_for(kv))

@@ -108,7 +108,12 @@ class PointStore:
         # and so do we.  Held per batch; contention cost is negligible.
         self._lock = threading.RLock()
         self._gc_stale_arenas()
+        # order: the length check first so a legacy (marker-less) store
+        # misdeclared to a different-length dtype fails BEFORE the marker
+        # adopts the wrong dtype; the marker then catches the length-colliding
+        # cases the geometry check cannot (see _check_dtype_marker)
         self._validate_payload_geometry()
+        self._check_dtype_marker()
 
     # -- plumbing --------------------------------------------------------------
 
@@ -173,6 +178,32 @@ class PointStore:
         safe = np.where(scales > 0, scales, np.float32(1.0))
         q = np.clip(np.rint(vecs / safe[:, None]), -127, 127).astype(np.int8)
         return scales, q
+
+    def _check_dtype_marker(self) -> None:
+        """Persist the storage dtype explicitly (``points/storage_dtype``)
+        and compare at open time.  The record-length check below cannot
+        distinguish dtypes whose serialized bodies collide (f16 at dim=4 is
+        2*4 = 8 bytes, i8 is 4+4 = 8 bytes — GCM opens succeed either way
+        because key/IV/AAD are identical, so a misdeclared reopen would
+        silently decode the first 4 f16 bytes as the i8 scale).  The marker
+        is authoritative; legacy stores without one adopt the configured
+        dtype after the geometry check passes (trust-on-first-open)."""
+        marker = os.path.join(self.points_dir, "storage_dtype")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                written = f.read().strip()
+            if written and written != self.dtype:
+                raise ValueError(
+                    f"store was built with storage dtype {written!r} but is "
+                    f"being opened as {self.dtype!r} — reopen with the dtype "
+                    f"it was built with")
+            return
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.dtype + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
 
     def _validate_payload_geometry(self) -> None:
         """An arena's record length is a function of the storage dtype it

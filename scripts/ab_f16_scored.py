@@ -44,7 +44,7 @@ def run(store, ids, qvecs, r, reps):
         t0 = time.perf_counter()
         ok = store.load_score_batch(ids, qvecs, r, norms, dots)
         best = min(best, time.perf_counter() - t0)
-    assert ok.all()
+        assert ok.all()   # every rep, not just the last
     return best, norms.copy(), dots.copy()
 
 
@@ -58,7 +58,9 @@ def main():
     rng = np.random.default_rng(0)
     vecs = rng.normal(size=(n, d)).astype(np.float32)
     qvecs = rng.normal(size=(q, d)).astype(np.float32)
-    ids = rng.integers(0, n, (q, r)).reshape(-1)
+    # without replacement per query: duplicate candidate ids would collapse
+    # in the set-based top-100 agreement metric and overstate disagreement
+    ids = np.stack([rng.permutation(n)[:r] for _ in range(q)]).reshape(-1)
 
     work = tempfile.mkdtemp(prefix="fspann_abf16_")
     try:

@@ -34,7 +34,8 @@ scan_ms = 13.8 * (rows / 1e6) * (B / 1152)   # measured 1M×1152 scaling
 packed_ms = scan_ms * 2.1           # ~2.1x HBM traffic (words+scratch+dot)
 ct_bytes = N * (D * 4 + 46)         # record = payload + iv/tag/header
 ici_mb = CHIPS * Q * L * 8 / 1e6
-aes_ms_per_core = L * (D * 4 + 46) / 1.9e9 * 1e3  # per query
+AES_BW = 1.9e9                      # host fused decrypt+score B/s per core
+aes_ms_per_core = L * (D * 4 + 46) / AES_BW * 1e3  # per query
 
 unp = "fits" if bits_bytes <= HBM_PER_CHIP * 0.9 else "OVER"
 pk_total = words_bytes + scratch
@@ -58,7 +59,7 @@ print(f"  ciphertext (hosts):   {ct_bytes/1e9:.0f} GB sharded arenas f32 "
       f"/ {ct_f16/1e9:.0f} GB f16 / {ct_i8/1e9:.0f} GB i8 "
       f"(storage_dtype; i8 recall cost ~1.5 pt @10, measured 200k)")
 print(f"  AES decrypt/query:    {aes_ms_per_core:.1f} ms/core f32, "
-      f"{L * (D + 4 + 46) / 1.9e9 * 1e3:.1f} ms/core i8 "
+      f"{L * (D + 4 + 46) / AES_BW * 1e3:.1f} ms/core i8 "
       f"(/= FSPANN_THREADS; adaptive margin cuts ~18% of opens)")
 print(f"  chunked scan keeps intermediates at [Q, {CHUNK}] — no Q "
       f"sub-batching needed at any rows/chip")

@@ -162,6 +162,33 @@ def test_open_wrong_dtype_fails_loudly(tmp_path, rng):
     PointStore(str(tmp_path / "empty"), km, dim=8, dtype="i8").close()
 
 
+def test_dtype_marker_catches_length_collision(tmp_path, rng):
+    """At dim=4 the f16 body (2*4=8B) equals the i8 body (4+4=8B), so the
+    record-length check passes and every GCM open would succeed under the
+    wrong payload interpretation (same key/IV/AAD) — the first 4 f16 bytes
+    silently decoded as the i8 scale.  The persisted storage-dtype marker
+    must catch exactly this case."""
+    km = KeyManager(str(tmp_path / "ks"))
+    s = PointStore(str(tmp_path / "db"), km, dim=4, dtype="f16")
+    s.insert_batch(np.arange(6), rng.normal(size=(6, 4)).astype(np.float32))
+    s.close()
+    try:
+        PointStore(str(tmp_path / "db"), km, dim=4, dtype="i8")
+        raise AssertionError("expected ValueError opening f16 store as i8")
+    except ValueError as e:
+        assert "storage dtype" in str(e) and "'f16'" in str(e)
+    # legacy stores (no marker) adopt the configured dtype on first open
+    # after the geometry check passes
+    import os
+    os.remove(str(tmp_path / "db" / "points" / "storage_dtype"))
+    s = PointStore(str(tmp_path / "db"), km, dim=4, dtype="f16")
+    _, ok = s.load_decrypt_batch(np.arange(6))
+    assert ok.all()
+    s.close()
+    with open(str(tmp_path / "db" / "points" / "storage_dtype")) as f:
+        assert f.read().strip() == "f16"
+
+
 def test_i8_e2e_recall_and_restore(tmp_path, rng):
     centers = rng.normal(size=(16, DIM)).astype(np.float32) * 5
     base = centers[rng.integers(0, 16, 1500)] + \

@@ -350,7 +350,10 @@ def test_token_under_deleted_key_version_rejected(tmp_path, corpus):
         sys_.store.reencrypt_all()
         sys_.rotation.force_rotate_now()
         assert sys_.rotation.finalize_rotation() == [1]
-        with pytest.raises(ValueError, match="tag verification"):
+        # diagnosable error, not a downstream tag-verification failure:
+        # the service refuses retired/unknown token key versions up front
+        from fspann_tpu.query.service import StaleTokenError
+        with pytest.raises(StaleTokenError, match="retired or unknown"):
             sys_.search(old_tok)
         # fresh tokens still work
         res = sys_.search(sys_.create_token(queries[0], 5))

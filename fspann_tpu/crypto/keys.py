@@ -1,10 +1,26 @@
-"""Versioned keystore: HMAC-derived session keys + atomic persistence.
+"""Versioned keystore: ratcheted HMAC-derived session keys + atomic persistence.
 
 Reference counterpart: ``keymanagement/KeyManager.java`` —
 ``K_v = HMAC-SHA256(K_master, int32_be(v))[:32]`` (KeyManager.java:221-237),
 keystore persisted via temp-file + atomic rename (:185-219), retention window
 (:35-36), secure wipe on deletion (SecureKeyDeletion.java, best-effort —
 Python, like the JVM, cannot guarantee erasure of immutable byte copies).
+
+Deliberate strengthening over the reference: the reference persists ONE
+fixed master forever, so a stolen post-rotation keystore re-derives every
+"securely deleted" session key — its deletion soundness is purely an API
+check.  Here the master is a HASH RATCHET: ``M_{v+1} = HMAC(M_v,
+"fspann/ratchet")``, ``K_v = HMAC(M_v, "fspann/session")``, and the
+keystore persists only the chain head ``M_b`` for the lowest non-deleted
+version ``b``.  Deleting the oldest live version advances the head one
+step and wipes the predecessor, so versions below the head are
+CRYPTOGRAPHICALLY unrecoverable from a stolen blob (one-wayness of the
+chain step), not merely refused.  Deleting a version that is not the
+current oldest leaves a hole: it stays derivable-in-principle from the
+persisted head until every version below it is also deleted (the API
+refuses it either way) — retention deletes oldest-first, so in normal
+operation erasure is immediate.  Game G1' (tests/test_forward_security.py)
+plays the stolen-keystore adversary against an old arena snapshot.
 """
 
 from __future__ import annotations
@@ -68,6 +84,12 @@ class KeyManager:
         self._deleted: set[int] = set()
         self.current_version = 1
         self.created_at = time.time()
+        # ratchet state: self._master is M_{epoch_base}, the chain head for
+        # the lowest non-deleted version; legacy (format-1) blobs load with
+        # _legacy=True and keep the reference's fixed-master derivation so
+        # their existing arenas stay openable
+        self.epoch_base = 1
+        self._legacy = False
         if os.path.exists(store_path):
             self._load()
         else:
@@ -76,9 +98,24 @@ class KeyManager:
 
     # -- derivation ---------------------------------------------------------
 
+    @staticmethod
+    def _ratchet_step(m: bytes) -> bytes:
+        return hmac.new(m, b"fspann/ratchet", hashlib.sha256).digest()
+
     def _derive(self, version: int) -> bytes:
-        return hmac.new(self._master.get(), struct.pack(">i", version),
-                        hashlib.sha256).digest()[:32]
+        if self._legacy:
+            return hmac.new(self._master.get(), struct.pack(">i", version),
+                            hashlib.sha256).digest()[:32]
+        if version < self.epoch_base:
+            # the chain head has ratcheted past this version: its master is
+            # cryptographically erased, not merely marked deleted
+            raise KeyError(
+                f"key version {version} predates the ratchet head "
+                f"(epoch base {self.epoch_base}) — cryptographically erased")
+        m = self._master.get()
+        for _ in range(version - self.epoch_base):
+            m = self._ratchet_step(m)
+        return hmac.new(m, b"fspann/session", hashlib.sha256).digest()[:32]
 
     def get_version(self, version: int) -> KeyVersion:
         if version in self._deleted:
@@ -112,7 +149,12 @@ class KeyManager:
         return self.current()
 
     def delete_version(self, version: int) -> None:
-        """Secure-wipe a session key copy and refuse future derivation."""
+        """Secure-wipe a session key copy, refuse future derivation, and —
+        when the deletion closes the bottom of the live range — RATCHET the
+        master chain head past every contiguously-deleted version, wiping
+        each predecessor head.  After the ratchet, the persisted blob holds
+        only M_{new base}, from which the deleted versions' keys cannot be
+        recomputed (G1')."""
         if version >= self.current_version:
             raise ValueError("cannot delete the current or future version")
         sb = self._session.pop(version, None)
@@ -120,6 +162,12 @@ class KeyManager:
             sb.wipe()
         self._gcm_cache.pop(version, None)
         self._deleted.add(version)
+        if not self._legacy:
+            while self.epoch_base in self._deleted:
+                old = self._master
+                self._master = SecureBytes(self._ratchet_step(old.get()))
+                old.wipe()
+                self.epoch_base += 1
         self.persist()
 
     def live_versions(self) -> list[int]:
@@ -146,10 +194,14 @@ class KeyManager:
         (reference KeyManager.java:185-219 ATOMIC_MOVE)."""
         blob = bytearray()
         blob += _MAGIC
-        blob += struct.pack(">iqd", 1, self.current_version, self.created_at)
+        fmt = 1 if self._legacy else 2
+        blob += struct.pack(">iqd", fmt, self.current_version,
+                            self.created_at)
         blob += struct.pack(">i", len(self._deleted))
         for v in sorted(self._deleted):
             blob += struct.pack(">q", v)
+        if not self._legacy:
+            blob += struct.pack(">q", self.epoch_base)
         blob += self._master.get()
         tmp = self.store_path + ".tmp"
         os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
@@ -164,8 +216,10 @@ class KeyManager:
         if not raw.startswith(_MAGIC):
             raise ValueError(f"bad keystore magic in {self.store_path}")
         off = len(_MAGIC)
-        _fmt, cur, created = struct.unpack_from(">iqd", raw, off)
+        fmt, cur, created = struct.unpack_from(">iqd", raw, off)
         off += struct.calcsize(">iqd")
+        if fmt not in (1, 2):
+            raise ValueError(f"unknown keystore format {fmt}")
         (ndel,) = struct.unpack_from(">i", raw, off)
         off += 4
         deleted = set()
@@ -173,6 +227,16 @@ class KeyManager:
             (v,) = struct.unpack_from(">q", raw, off)
             deleted.add(int(v))
             off += 8
+        if fmt == 2:
+            (base,) = struct.unpack_from(">q", raw, off)
+            off += 8
+            self.epoch_base = int(base)
+            self._legacy = False
+        else:
+            # reference-compatible fixed-master blob: no ratchet head, keys
+            # for every version derive from the one persisted master
+            self.epoch_base = 1
+            self._legacy = True
         master = raw[off:off + 32]
         if len(master) != 32:
             raise ValueError("truncated keystore")

@@ -211,3 +211,98 @@ def test_background_reencryption_under_live_queries(tmp_path, rng):
     assert ok.all()
     np.testing.assert_allclose(out, vecs, rtol=1e-6)
     store.close()
+
+
+def test_g1_prime_stolen_keystore_cannot_rederive_deleted(system, tmp_path):
+    """G1': the adversary steals the CURRENT keystore blob plus an OLD arena
+    snapshot.  The reference fails this game — its blob persists one fixed
+    master that re-derives every 'deleted' session key (KeyManager.java:
+    221-237).  Here the master is a hash ratchet: finalizing v1 advances the
+    persisted chain head past it, so the stolen blob (a) refuses v1 via the
+    API, (b) holds master bytes DIFFERENT from those v1's key was derived
+    from, and (c) none of the keys it CAN derive open the old arena record."""
+    import shutil
+
+    km, store, svc, vecs = system
+    # snapshot what the adversary will steal later: v1's arena bytes
+    store.flush()
+    arena_snapshot = tmp_path / "stolen_v1.arena"
+    shutil.copy(store._arena_path(1), arena_snapshot)
+    blob_before = open(km.store_path, "rb").read()
+    k1 = km.get_version(1).key
+
+    # full migration off v1, then finalize (securely deletes v1)
+    svc.force_rotate_now()
+    store.reencrypt_ids(list(range(50)))
+    svc.force_rotate_now()
+    assert svc.finalize_rotation() == [1]
+
+    # the persisted master actually changed (ratchet advanced)
+    blob_after = open(km.store_path, "rb").read()
+    assert blob_before[-32:] != blob_after[-32:]
+
+    # adversary loads the stolen blob fresh
+    stolen_path = tmp_path / "stolen.blob"
+    shutil.copy(km.store_path, stolen_path)
+    adv = KeyManager(str(stolen_path))
+    assert adv.epoch_base == 2
+    with pytest.raises(KeyError):
+        adv.get_version(1)
+    # keys the stolen blob CAN derive serve live data (it's the real
+    # keystore) but none of them is v1's key ...
+    for v in adv.live_versions():
+        assert adv.get_version(v).key != k1
+    # ... and none opens the old arena snapshot under the true AAD
+    from fspann_tpu.store.arena import ArenaReader
+    reader = ArenaReader(str(arena_snapshot))
+    pid, rkv, dim, iv, ct = reader.read_record(0)
+    assert rkv == 1
+    opened = 0
+    for v in adv.live_versions():
+        for aad_v in (1, v):
+            try:
+                adv.gcm_for(v).open(iv, ct, aad_for(pid, aad_v, dim))
+                opened += 1
+            except ValueError:
+                pass
+    reader.close()
+    assert opened == 0
+    # sanity: the ORIGINAL v1 key does open the snapshot (the game is real)
+    assert aesgcm.GcmKey(k1).open(iv, ct, aad_for(pid, 1, dim)) is not None
+
+
+def test_ratchet_restore_equality_and_legacy_format(tmp_path):
+    """Ratcheted keystores persist/load to identical keys; format-1 blobs
+    (reference-compatible fixed master) still load and derive old-style."""
+    import hashlib
+    import hmac as hmac_mod
+    import struct as struct_mod
+
+    km = KeyManager(str(tmp_path / "ks.blob"))
+    km.rotate()
+    km.rotate()                     # v3 current
+    keys = {v: km.get_version(v).key for v in (1, 2, 3)}
+    km2 = KeyManager(str(tmp_path / "ks.blob"))
+    for v in (1, 2, 3):
+        assert km2.get_version(v).key == keys[v]
+    km.delete_version(1)            # ratchet: base -> 2
+    km3 = KeyManager(str(tmp_path / "ks.blob"))
+    assert km3.epoch_base == 2
+    for v in (2, 3):
+        assert km3.get_version(v).key == keys[v]
+
+    # hand-write a format-1 (legacy) blob and check old-style derivation
+    master = b"\x07" * 32
+    blob = b"FSPKS1\n" + struct_mod.pack(">iqd", 1, 2, 0.0) \
+        + struct_mod.pack(">i", 0) + master
+    p = tmp_path / "legacy.blob"
+    p.write_bytes(blob)
+    leg = KeyManager(str(p))
+    assert leg._legacy
+    want = hmac_mod.new(master, struct_mod.pack(">i", 2),
+                        hashlib.sha256).digest()[:32]
+    assert leg.get_version(2).key == want
+    # legacy blobs persist back as format 1 (derivation must not change
+    # under the adversary's nose)
+    leg.persist()
+    assert KeyManager(str(p))._legacy

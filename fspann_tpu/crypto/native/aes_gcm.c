@@ -12,6 +12,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>     /* getenv/atol (prefetch-depth knob) */
 #include <string.h>
 #include <wmmintrin.h>  /* AES-NI + PCLMUL */
 #include <tmmintrin.h>  /* _mm_shuffle_epi8 */
@@ -512,6 +513,21 @@ static inline void fspann_format_aad(uint8_t *out, uint64_t id, uint32_t kv,
     for (int i = 31; i >= 27; i--) { out[i] = (uint8_t)('0' + dim % 10); dim /= 10; }
 }
 
+/* Software-prefetch lookahead (records) for the open loops.  Default 4;
+ * FSPANN_PF_DEPTH overrides (0 disables, clamped to 16).  Read once per
+ * process — flipping it live is not supported. */
+static size_t fspann_pf_depth(void) {
+    static long cached = -1;
+    if (cached < 0) {
+        const char *e = getenv("FSPANN_PF_DEPTH");
+        long v = e ? atol(e) : 4;
+        if (v < 0) v = 0;
+        if (v > 16) v = 16;
+        cached = v;
+    }
+    return (size_t)cached;
+}
+
 /* open_batch_rec variant for the query hot path: one key version per call,
  * AADs synthesized from the candidate ids instead of passed as a matrix. */
 static int open_batch_rec_id_range(const void *ctx,
@@ -603,12 +619,23 @@ static int open_batch_rec_id_range(const void *ctx,
     const int have_f16c = 0;
 #endif
     /* records sit at ~10-20KB strides (candidate sets are sparse in the
-     * arena) — beyond the hardware prefetcher's reach, so pull the next
-     * record's lines in while the current one is in the AES units */
+     * arena) — beyond the hardware prefetcher's reach, so software-prefetch
+     * ahead while the current record is in the AES units.  Depth swept on
+     * the 1M f16 candidate-open workload (scripts/ab_prefetch_depth.py,
+     * interleaved subprocess A/B): depths 1/2/4/8 land within host-weather
+     * noise of each other (best 0.93-0.96 ms/q) — the one-record lookahead
+     * already covers the latency on this host.  Kept as a knob
+     * (FSPANN_PF_DEPTH) for hosts with deeper memory latency. */
     const size_t rec_span = (size_t)tag_rel + 16;
+    const size_t pf_depth = fspann_pf_depth();
+    for (size_t p = lo; p < lo + pf_depth && p < hi; p++) {
+        const uint8_t *nxt = base + rec_off[p];
+        for (size_t o = 0; o < rec_span; o += 64)
+            __builtin_prefetch(nxt + o, 0, 1);
+    }
     for (size_t i = lo; i < hi; i++) {
-        if (i + 1 < hi) {
-            const uint8_t *nxt = base + rec_off[i + 1];
+        if (i + pf_depth < hi) {
+            const uint8_t *nxt = base + rec_off[i + pf_depth];
             for (size_t o = 0; o < rec_span; o += 64)
                 __builtin_prefetch(nxt + o, 0, 1);
         }

@@ -87,14 +87,45 @@ def unpack_bits_device(codes: jax.Array, code_bits: int) -> jax.Array:
 
 def build_scan_state(codes: np.ndarray, code_bits: int,
                      chunk: int = 262_144) -> ScanState:
-    """Host-side unpack (chunked to bound peak memory) + device upload."""
-    n = codes.shape[0]
-    parts = []
-    for lo in range(0, n, chunk):
-        parts.append(unpack_bits_numpy(codes[lo:lo + chunk], code_bits))
-    bits = parts[0] if len(parts) == 1 else np.concatenate(parts)
-    popc = bits.sum(axis=1, dtype=np.int32)
-    return ScanState(jax.device_put(bits), jax.device_put(popc))
+    """Upload the PACKED words and unpack ON DEVICE.
+
+    The old path unpacked on the host and shipped the 8×-inflated int8 bit
+    matrix over the host↔device link — at 1M × 3,072-bit codes that is
+    3 GB through a ~30 MB/s remote tunnel, the dominant finalize cost
+    (round-3 finalize 82.7 s was mostly this transfer).  Packed words are
+    8× fewer bytes; the unpack is VPU shift/mask work the device does in
+    milliseconds.  Chunked ``dynamic_update_slice`` into a donated
+    preallocated matrix keeps the device peak at bits + one chunk's
+    scratch (a single whole-array unpack would let XLA materialize
+    multi-GB broadcast intermediates); the tail reuses a full-size window
+    ending at n (overlapped rows recompute identically) so only ONE shape
+    compiles.  Popcounts come from one ``population_count`` pass over the
+    words (pad bits are zero by the packers' construction, ops/coding.py).
+    Bit-identical to the host unpack: same MSB-first convention
+    (``unpack_bits_device`` vs ``unpack_bits_numpy`` equality is tested)."""
+    n, g, _w = codes.shape
+    words = jax.device_put(np.ascontiguousarray(codes, np.uint32))
+    popc = jax.jit(lambda x: jnp.sum(
+        jax.lax.population_count(x.reshape(x.shape[0], -1)),
+        axis=-1).astype(jnp.int32))(words)
+    if n <= chunk:
+        bits = jax.jit(lambda x: unpack_bits_device(x, code_bits))(words)
+        return ScanState(bits, popc)
+    upd = jax.jit(
+        lambda buf, ws, lo: jax.lax.dynamic_update_slice(
+            buf,
+            unpack_bits_device(
+                jax.lax.dynamic_slice_in_dim(ws, lo, chunk), code_bits),
+            (lo, 0)),
+        donate_argnums=(0,))
+    bits = jnp.zeros((n, g * code_bits), jnp.int8)
+    lo = 0
+    while lo < n:
+        if lo + chunk > n:
+            lo = n - chunk
+        bits = upd(bits, words, np.int64(lo))
+        lo += chunk
+    return ScanState(bits, popc)
 
 
 def build_scan_state_packed(codes: np.ndarray,

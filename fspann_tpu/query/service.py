@@ -16,6 +16,7 @@ whole batch crosses the host↔device boundary twice (ids down, vectors up).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -36,6 +37,45 @@ from ..types import QueryResult, QueryToken, SearchStats
 class StaleTokenError(ValueError):
     """A query token's key version is retired/unknown — the caller must
     re-derive the token under a live key (see QueryToken.derive)."""
+
+
+# -- candidate-id transfer packing ------------------------------------------------
+# On remote-device serving the ranked-id D2H slice rides a ~27 MB/s tunnel
+# whose byte handling also competes with host AES for the single serving
+# core — the transfer IS the route-stage cost.  Row ids fit 24 bits at any
+# corpus below ~16.7M rows, so the device packs (id + 1) into 3
+# little-endian bytes (+1 maps the -1 pad to 0) and the host widens back;
+# 25% fewer tunnel bytes for ~0.01 ms/q of numpy decode.
+
+def _pack24(x: jax.Array) -> jax.Array:
+    y = (x + 1).astype(jnp.uint32)
+    return jnp.stack([(y & 0xff).astype(jnp.uint8),
+                      ((y >> 8) & 0xff).astype(jnp.uint8),
+                      ((y >> 16) & 0xff).astype(jnp.uint8)], axis=-1)
+
+
+_pack24_jit = jax.jit(_pack24)
+
+_PACK24_MAX = (1 << 24) - 2        # largest id that survives the +1 encode
+
+
+def _pack_transfer_enabled() -> bool:
+    """Pack only when the D2H actually crosses a device link: on the host
+    CPU backend the 'transfer' is a pointer hop and packing is pure
+    overhead.  FSPANN_PACK24=1/0 forces it either way (tests use 1 to
+    exercise the packed path on the CPU suite)."""
+    v = os.environ.get("FSPANN_PACK24")
+    if v is not None:
+        return v not in ("0", "off")
+    return jax.default_backend() != "cpu"
+
+
+def _unpack24(b: np.ndarray) -> np.ndarray:
+    b = np.asarray(b)
+    v = (b[..., 0].astype(np.int32)
+         | (b[..., 1].astype(np.int32) << 8)
+         | (b[..., 2].astype(np.int32) << 16))
+    return v - 1
 
 
 def _topk_from_d2(d2: np.ndarray, cand_ids: np.ndarray, valid: np.ndarray,
@@ -328,6 +368,13 @@ class QueryService:
             ids_slice, width = routed.ids[:, :pred], pred
         else:
             ids_slice, width = routed.ids, r_full
+        # 24-bit transfer packing: device arrays only (the non-dense /
+        # native paths already hold numpy), ids must fit the encode
+        packed = False
+        if (isinstance(ids_slice, jax.Array) and _pack_transfer_enabled()
+                and 0 <= self.index.max_route_id() <= _PACK24_MAX):
+            ids_slice = _pack24_jit(ids_slice)
+            packed = True
         # start the D2H copies NOW: the ranked-id slice plus the per-query
         # counters complete their transfers while the previous batch's host
         # AES runs, so the consume side's device_get/np.asarray hit an
@@ -339,11 +386,11 @@ class QueryService:
                     arr.copy_to_host_async()
                 except Exception:
                     break  # backend without async copy: consume path works
-        return routed, ids_slice, width, dispatch_ns
+        return routed, ids_slice, width, dispatch_ns, packed
 
     def _consume_pass(self, tokens, qvecs, dispatched, k, touched_parts,
                       t_start):
-        routed, ids_slice, pred, dispatch_ns = dispatched
+        routed, ids_slice, pred, dispatch_ns, packed = dispatched
         # stage attribution: route_ns counts only the time THIS thread spends
         # blocked on the device result — pipeline overlap (the previous
         # batch's host work ran between dispatch and here) is not charged
@@ -364,7 +411,11 @@ class QueryService:
         # per-query tail so the AES loop never touches it
         width = n_unique if n_dec is None else n_dec
         need = max(int(width.max(initial=1)), k, 1)
-        cand_ids = np.asarray(ids_slice if need <= pred else routed.ids)
+        if need <= pred:
+            cand_ids = _unpack24(ids_slice) if packed \
+                else np.asarray(ids_slice)
+        else:   # mispredict: fall back to the full (unpacked) matrix
+            cand_ids = np.asarray(routed.ids)
         self._slice_pred = min(max(256, 1 << (need - 1).bit_length()), r_full)
         if n_dec is not None:
             cand_ids = np.where(

@@ -217,40 +217,55 @@ def encode(x: jax.Array, bank: GBank) -> tuple[jax.Array, jax.Array]:
 # Host (numpy) encode path — used when ingestion runs on the host
 # ----------------------------------------------------------------------------
 
-def encode_numpy(x: np.ndarray, bank: GBank
-                 ) -> tuple[np.ndarray, np.ndarray]:
+def encode_numpy(x: np.ndarray, bank: GBank,
+                 chunk: int = 4096) -> tuple[np.ndarray, np.ndarray]:
     """Same pipeline as :func:`encode` in pure numpy (BLAS matmul + packing).
 
     Used for host-side ingestion (``runtime.encode_backend="cpu"``) where a
     remote device link would make per-batch round trips the build bottleneck.
     Corpus and queries must be encoded on the SAME backend — f32 rounding can
     differ across backends exactly at bucket boundaries.
-    """
+
+    Rows are processed in ``chunk`` blocks so the elementwise/packing
+    temporaries (y, h, bits — ~10 bytes per code bit per row) stay
+    cache-resident: a 100k-row batch at 3,072-bit codes otherwise streams
+    ~6 GB of f32 projections through DRAM EIGHT times (projection, +r,
+    /omega, floor, cast, shift/mask, pad, packbits), and on the
+    bandwidth-starved serving host those passes — not the BLAS — dominated
+    the whole 1M build (profile_build.py: encode 225 s of 236 s insert;
+    chunking cuts it ~4x).  Per-chunk results are bit-identical to the
+    whole-batch computation (all ops are elementwise or row-local)."""
     a = np.asarray(bank.alpha, np.float32)
     r = np.asarray(bank.r, np.float32)
     om = np.asarray(bank.omega, np.float32)
     x = np.asarray(x, np.float32)
-    y = np.einsum("nd,gmd->ngm", x, a, optimize=True)
-    h = np.floor((y + r) / om).astype(np.int32)
-
+    n = x.shape[0]
     m, lam, w = bank.m, bank.lam, bank.code_words
-    hu = h.astype(np.uint32)
+    g = a.shape[0]
+    a2 = np.ascontiguousarray(a.reshape(g * m, -1).T)   # [d, g*m] for BLAS
     shifts = np.arange(lam - 1, -1, -1, dtype=np.uint32)
-    # uint8 bit matrix + np.packbits (MSB-first — exactly the weight order
-    # of the packed-word layout): the previous u64 multiply-sum allocated
-    # ~4GB of temporaries per 100k x G=48 ingest batch and dominated large
-    # builds on the host path
-    bits = (((hu[..., None, :] >> shifts[:, None]) & np.uint32(1))
-            .astype(np.uint8))
-    bits = bits.reshape(*h.shape[:-1], lam * m)
     pad = w * 32 - lam * m
-    if pad:
-        bits = np.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-    packed = np.packbits(bits, axis=-1)            # [..., w*4] bytes
-    codes = (np.ascontiguousarray(packed)
-             .view(">u4").astype(np.uint32))       # [..., w] MSB-first words
-
-    k = codes[..., 0].astype(np.int64) << 31
-    if w > 1:
-        k = k | (codes[..., 1].astype(np.int64) >> 1)
-    return codes, k
+    codes = np.empty((n, g, w), np.uint32)
+    keys = np.empty((n, g), np.int64)
+    for lo in range(0, n, chunk):
+        xs = x[lo:lo + chunk]
+        y = (xs @ a2).reshape(len(xs), g, m)
+        h = np.floor((y + r) / om).astype(np.int32)
+        hu = h.astype(np.uint32)
+        # uint8 bit matrix + np.packbits (MSB-first — exactly the weight
+        # order of the packed-word layout)
+        bits = (((hu[..., None, :] >> shifts[:, None]) & np.uint32(1))
+                .astype(np.uint8))
+        bits = bits.reshape(*h.shape[:-1], lam * m)
+        if pad:
+            bits = np.pad(bits,
+                          [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+        packed = np.packbits(bits, axis=-1)        # [..., w*4] bytes
+        c = (np.ascontiguousarray(packed)
+             .view(">u4").astype(np.uint32))       # [..., w] MSB-first
+        codes[lo:lo + len(xs)] = c
+        k = c[..., 0].astype(np.int64) << 31
+        if w > 1:
+            k = k | (c[..., 1].astype(np.int64) >> 1)
+        keys[lo:lo + len(xs)] = k
+    return codes, keys

@@ -59,8 +59,8 @@ FAMILIES = {
         "REDCAPS_P10_HIGH": 0.080, "REDCAPS_LAMBDA3": 0.097,
         "REDCAPS_M30": 0.073, "REDCAPS_DIV6": 0.051}),
     "hard": dict(d=128, cfg="sift1m.json", profiles={
-        "SIFT_P4_FAST": 0.551, "SIFT_P8_BASE": 0.677,
-        "SIFT_P12_HIGH": 0.771}),
+        "SIFT_P4_FAST": 0.551, "SIFT_P6_BALANCED": 0.677,
+        "SIFT_P10_HIGH": 0.771}),
 }
 
 

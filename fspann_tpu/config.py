@@ -101,6 +101,15 @@ class RuntimeConfig:
     # whenever the scan state lives on a CPU device (the XLA:CPU fallback
     # streams the UNPACKED int8 matrix — 8x the bytes).
     scan_native: str = "auto"
+    # Device scan-state row capacity (scan mode): when > n_rows the state
+    # is padded to this many rows (padding tombstoned) so post-finalize
+    # live inserts write into the padding with a fixed-shape
+    # dynamic_update_slice instead of growing the array — no XLA
+    # recompile per insert event (the mesh path's build(capacity=)
+    # equivalent for single-chip serving).  0 = exact fit; growth past
+    # capacity falls back to a reallocating append (one recompile,
+    # capacity then grows geometrically).
+    scan_capacity_rows: int = 0
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
     # Where ingestion encoding + partition build run: "default" (the
@@ -245,6 +254,8 @@ class SystemConfig:
         if rt.scan_native not in ("auto", "on", "off"):
             raise ValueError(f"scan_native must be auto/on/off, "
                              f"got {rt.scan_native!r}")
+        if rt.scan_capacity_rows < 0:
+            raise ValueError("scan_capacity_rows must be >= 0")
         if rt.adaptive_decrypt_margin < 0:
             raise ValueError("adaptive_decrypt_margin must be >= 0")
         if rt.adaptive_decrypt_margin > 0:

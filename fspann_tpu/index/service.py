@@ -87,6 +87,10 @@ class PartitionedIndex:
         self._tombstones_dev = None
         self._tombstones_np = None
         self._tombstones_dirty = True
+        # device scan-state row count (== _n_rows unless capacity-padded;
+        # runtime.scan_capacity_rows) + its padded tombstone cache
+        self._scan_rows = 0
+        self._tombstones_scan_dev = None
         if bank_path and os.path.exists(bank_path):
             self._load_bank(bank_path)
 
@@ -285,21 +289,61 @@ class PartitionedIndex:
             codes, _ = coding.encode(jnp.asarray(vecs), self.bank)
             codes = np.asarray(codes)
         st = self._scan_state
-        if st is not None:
+        if st is not None and self._n_rows + len(ids) > self._scan_rows:
+            # out of capacity padding: grow on device — old state + new
+            # rows + fresh zero padding with geometric headroom (ONE
+            # scan-shape recompile, amortized O(1) over an insert stream;
+            # only the new rows cross the host↔device link).  Exact-fit
+            # builds (scan_capacity_rows == 0) grow exactly, preserving
+            # the pre-capacity behavior.
+            grow = 0 if self.cfg.runtime.scan_capacity_rows == 0 \
+                else max(self._scan_rows // 8, 4096)
             cb = self.cfg.paper.code_bits
             new_bits = hamming_scan.unpack_bits_numpy(codes, cb)
             new_popc = jnp.asarray(new_bits.sum(axis=1, dtype=np.int32))
             if isinstance(st, hamming_scan.PackedScanState):
+                body = jnp.asarray(codes.astype(np.uint32))
+                parts = [st.words[:self._n_rows], body]
+                if grow:
+                    parts.append(jnp.zeros((grow,) + body.shape[1:],
+                                           body.dtype))
+                popc_parts = [st.popc[:self._n_rows], new_popc]
+                if grow:
+                    popc_parts.append(jnp.zeros(grow, jnp.int32))
                 self._scan_state = hamming_scan.PackedScanState(
-                    jnp.concatenate(
-                        [st.words, jnp.asarray(codes.astype(np.uint32))],
-                        axis=0),
-                    jnp.concatenate([st.popc, new_popc]))
+                    jnp.concatenate(parts, axis=0),
+                    jnp.concatenate(popc_parts))
+            else:
+                body = jnp.asarray(new_bits)
+                parts = [st.bits[:self._n_rows], body]
+                if grow:
+                    parts.append(jnp.zeros((grow,) + body.shape[1:],
+                                           body.dtype))
+                popc_parts = [st.popc[:self._n_rows], new_popc]
+                if grow:
+                    popc_parts.append(jnp.zeros(grow, jnp.int32))
+                self._scan_state = hamming_scan.ScanState(
+                    jnp.concatenate(parts, axis=0),
+                    jnp.concatenate(popc_parts))
+            self._scan_rows = self._n_rows + len(ids) + grow
+            self._tombstones_scan_dev = None
+        elif st is not None:
+            # fixed-shape in-place fill of the tombstoned capacity padding —
+            # no recompile (the dynamic_update_slice start index is traced)
+            cb = self.cfg.paper.code_bits
+            new_bits = hamming_scan.unpack_bits_numpy(codes, cb)
+            new_popc = jnp.asarray(new_bits.sum(axis=1, dtype=np.int32))
+            lo = self._n_rows
+            if isinstance(st, hamming_scan.PackedScanState):
+                self._scan_state = hamming_scan.PackedScanState(
+                    hamming_scan.update_rows(
+                        st.words, jnp.asarray(codes.astype(np.uint32)), lo),
+                    hamming_scan.update_rows(st.popc, new_popc, lo))
             else:
                 self._scan_state = hamming_scan.ScanState(
-                    jnp.concatenate([st.bits, jnp.asarray(new_bits)],
-                                    axis=0),
-                    jnp.concatenate([st.popc, new_popc]))
+                    hamming_scan.update_rows(st.bits, jnp.asarray(new_bits),
+                                             lo),
+                    hamming_scan.update_rows(st.popc, new_popc, lo))
         # native-only serving: the packed codes ARE the scan state
         self._scan_codes = np.concatenate([self._scan_codes, codes])
         self._row_ids = np.concatenate([self._row_ids, ids])
@@ -334,6 +378,7 @@ class PartitionedIndex:
                     t[mask] = True
             self._tombstones_np = t
             self._tombstones_dev = None
+            self._tombstones_scan_dev = None
             self._tombstones_dirty = False
         return self._tombstones_np
 
@@ -342,6 +387,18 @@ class PartitionedIndex:
         if self._tombstones_dev is None:
             self._tombstones_dev = jnp.asarray(host)
         return self._tombstones_dev
+
+    def _tombstones_scan(self):
+        """Device tombstones sized to the scan state's row count: live rows
+        carry the regular mask, capacity padding is permanently dead."""
+        host = self._tombstones_host()
+        if self._scan_rows <= len(host):
+            return self._tombstones()
+        if self._tombstones_scan_dev is None:
+            t = np.ones(self._scan_rows, bool)
+            t[:len(host)] = host
+            self._tombstones_scan_dev = jnp.asarray(t)
+        return self._tombstones_scan_dev
 
     # -- query ------------------------------------------------------------------------
 
@@ -404,18 +461,18 @@ class PartitionedIndex:
                 # packed state always goes through the chunked scan (the
                 # per-chunk device unpack is the point of packing)
                 res = hamming_scan.scan_chunked(
-                    self._scan_state, qbits, self._tombstones(), scan_l,
+                    self._scan_state, qbits, self._tombstones_scan(), scan_l,
                     anchor=rt.adaptive_decrypt_anchor,
                     margin=rt.adaptive_decrypt_margin,
                     floor=rt.adaptive_decrypt_floor,
                     code_bits=self.cfg.paper.code_bits)
             else:
-                flat_bytes = qbits.shape[0] * self._n_rows * 12
+                flat_bytes = qbits.shape[0] * self._scan_rows * 12
                 scan_fn = hamming_scan.scan \
                     if flat_bytes <= self._scan_flat_budget() \
                     else hamming_scan.scan_chunked
-                res = scan_fn(self._scan_state, qbits, self._tombstones(),
-                              scan_l,
+                res = scan_fn(self._scan_state, qbits,
+                              self._tombstones_scan(), scan_l,
                               anchor=rt.adaptive_decrypt_anchor,
                               margin=rt.adaptive_decrypt_margin,
                               floor=rt.adaptive_decrypt_floor)
@@ -484,11 +541,24 @@ class PartitionedIndex:
         """Build the scan state in the configured HBM layout.  "auto"
         packs only when the unpacked int8 bit matrix would not fit the
         device budget — packed costs ~2x scan traffic but 8x less
-        resident HBM (ops/hamming_scan.PackedScanState)."""
+        resident HBM (ops/hamming_scan.PackedScanState).
+
+        When ``runtime.scan_capacity_rows`` exceeds the row count the
+        state is padded with zero rows up to capacity; padding rows are
+        tombstoned (``_tombstones_scan``) so the scan never ranks them.
+        Post-finalize ``append_rows`` then fills padding in place —
+        constant array shape, no per-insert XLA recompile."""
         cb = self.cfg.paper.code_bits
+        n = int(codes.shape[0])
+        cap = max(n, self.cfg.runtime.scan_capacity_rows)
+        if cap > n:
+            codes = np.concatenate(
+                [codes, np.zeros((cap - n,) + codes.shape[1:], codes.dtype)])
+        self._scan_rows = cap
+        self._tombstones_scan_dev = None
         mode = self.cfg.runtime.scan_packed
         if mode == "auto":
-            bits_bytes = int(codes.shape[0]) * self.cfg.paper.num_groups * cb
+            bits_bytes = cap * self.cfg.paper.num_groups * cb
             mode = "on" if bits_bytes > self._scan_pack_budget() else "off"
         if mode == "on":
             return hamming_scan.build_scan_state_packed(codes, cb)

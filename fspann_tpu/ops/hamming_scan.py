@@ -143,6 +143,18 @@ def build_scan_state_packed(codes: np.ndarray,
     return PackedScanState(words, popc)
 
 
+update_rows = jax.jit(
+    lambda buf, new, lo: jax.lax.dynamic_update_slice_in_dim(
+        buf, new, lo, axis=0),
+    donate_argnums=(0,))
+update_rows.__doc__ = """In-place row fill for capacity-padded scan state.
+
+The start index is a TRACED scalar and the buffer is donated, so a stream
+of same-sized live-insert batches reuses one compiled program and never
+copies the resident state — the single-chip equivalent of the mesh path's
+``append_scan_rows`` dynamic_update_slice (parallel/sharded.py)."""
+
+
 def _adaptive_count(scores: jax.Array, anchor: int, margin: int,
                     floor: int, k: int) -> jax.Array:
     """Per-query adaptive decrypt budget from the ranked score matrix.

@@ -324,11 +324,11 @@ class ShardedIndex:
             raise RuntimeError("nothing to save: build with keep_codes or "
                                "keep_bits first")
         if codes is not None:
-            codes_np = np.asarray(codes)
+            codes_np = self._gather_host(codes)
         else:
             # scan-only build: re-pack from bits is lossy-free but wide;
             # instead re-encode is wrong (needs base) — so repack bits
-            bits = np.asarray(self.bits)                    # [N_pad, B]
+            bits = self._gather_host(self.bits)             # [N_pad, B]
             g, cb = self.bank.g, self.bank.code_bits
             w = self.bank.code_words
             by = np.packbits(
@@ -402,6 +402,15 @@ class ShardedIndex:
         shards = sorted(arr.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
         return [s.data for s in shards]
+
+    def _gather_host(self, arr) -> np.ndarray:
+        """Sharded global array → host, shard by shard.  A plain
+        ``np.asarray`` on a fully-sharded array lowers to an XLA
+        all-gather — a COLLECTIVE inside a checkpoint path, which the
+        CPU in-process communicator hard-aborts after 40 s when one
+        emulated device lags (observed at 10M rows on a 1-core host).
+        Per-shard D2H copies carry no rendezvous and the same bytes."""
+        return np.concatenate([np.asarray(x) for x in self._per_device(arr)])
 
     def append_scan_rows(self, vecs: np.ndarray) -> np.ndarray:
         """Live insert on the mesh (scan mode) — the mesh analogue of the

@@ -110,6 +110,13 @@ class RuntimeConfig:
     # capacity falls back to a reallocating append (one recompile,
     # capacity then grows geometrically).
     scan_capacity_rows: int = 0
+    # Mesh scan-merge backend: "ici" all_gathers per-shard top-Ls and
+    # merges replicated on device (right on real multi-chip hardware);
+    # "host" keeps them sharded and merges on the host with the identical
+    # exact 2-key order — no collective in the query step (right for
+    # emulated CPU meshes, whose in-process rendezvous hard-aborts when
+    # one device lags ~40 s, or when the serving host outruns the ICI).
+    mesh_merge: str = "ici"
     block_size: int = 64              # greedy partition block size
     retry_probes: int = 10            # adaptive-retry probe count (QueryServiceImpl:335)
     # Where ingestion encoding + partition build run: "default" (the
@@ -256,6 +263,9 @@ class SystemConfig:
                              f"got {rt.scan_native!r}")
         if rt.scan_capacity_rows < 0:
             raise ValueError("scan_capacity_rows must be >= 0")
+        if rt.mesh_merge not in ("ici", "host"):
+            raise ValueError(f"mesh_merge must be ici/host, "
+                             f"got {rt.mesh_merge!r}")
         if rt.adaptive_decrypt_margin < 0:
             raise ValueError("adaptive_decrypt_margin must be >= 0")
         if rt.adaptive_decrypt_margin > 0:

@@ -106,6 +106,7 @@ class DistributedEncryptedSystem:
         self.index = ShardedIndex(self.mesh, bank,
                                   block_size=self.cfg.runtime.block_size)
         rt = self.cfg.runtime
+        self.index.merge_backend = rt.mesh_merge
         rows = -(-max(self.n, capacity or 0) // self.ndev)
         self.index.build(base, keep_base=False,
                          keep_codes=(rt.rerank_limit > 0
@@ -186,6 +187,7 @@ class DistributedEncryptedSystem:
             pp.omega_divisor)
         self.index = ShardedIndex(self.mesh, bank,
                                   block_size=rt.block_size)
+        self.index.merge_backend = rt.mesh_merge
 
         def feed():
             import itertools
@@ -343,6 +345,7 @@ class DistributedEncryptedSystem:
             path, self.mesh,
             keep_codes=(rt.rerank_limit > 0 and rt.routing_mode != "scan"),
             keep_bits=self._scan_layout(rows))
+        self.index.merge_backend = rt.mesh_merge
         self.store.set_range_size(self.index.shard_rows)
         self.n = self.index.n
         # deletions live in the shard stores' metadata (the mesh checkpoint

@@ -62,6 +62,38 @@ def resolve_scan_layout(mode, shard_rows: int, bits_per_row: int):
     return "packed" if shard_rows * bits_per_row > budget else True
 
 
+def _assemble_dim1(arr) -> np.ndarray:
+    """[Q, k*ndev] global array sharded on dim 1 → host numpy, shard by
+    shard (plain D2H copies — no collective, no rendezvous)."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[1].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=1)
+
+
+def host_merge_topl(ids, sc, limit: int):
+    """Exact host replica of the ICI scan merge: ascending 2-key
+    (score, id) order over the union of per-shard top-Ls, first ``limit``
+    kept, dead entries → id −1.  Packing both int32 keys into one int64
+    (score<<32 | id, both non-negative) makes a single argpartition+sort
+    reproduce ``lax.sort((sc, ids), num_keys=2)`` bit-exactly."""
+    pad32 = np.iinfo(np.int32).max
+    ids_np = _assemble_dim1(ids).astype(np.int64)
+    sc_np = _assemble_dim1(sc).astype(np.int64)
+    key = (sc_np << 32) | ids_np
+    r = min(limit, key.shape[1])
+    if r < key.shape[1]:
+        head = np.take_along_axis(
+            key, np.argpartition(key, r - 1, axis=1)[:, :r], axis=1)
+    else:
+        head = key
+    head = np.sort(head, axis=1)
+    sc_m = (head >> 32).astype(np.int32)
+    ids_m = (head & 0xFFFFFFFF).astype(np.int32)
+    return np.where(sc_m == pad32, -1, ids_m), sc_m
+
+
 class ShardedIndex:
     """Plaintext corpus sharded over a mesh with per-shard partition tables."""
 
@@ -83,6 +115,12 @@ class ShardedIndex:
         self.shard_rows = 0
         self.n = 0
         self._steps: dict = {}   # jitted step cache per (probes, limit, k)
+        # scan-merge backend: "ici" = all_gather + replicated device merge
+        # (right on real multi-chip hardware), "host" = per-shard top-Ls
+        # stay sharded and host_merge_topl does the identical exact merge
+        # (right on emulated meshes — XLA:CPU's in-process rendezvous
+        # hard-aborts at 40 s — or when the host sits closer than the ICI)
+        self.merge_backend = "ici"
 
     def _init_tombs(self) -> None:
         """Fresh all-false sharded tombstone mask (one bool per padded
@@ -601,11 +639,18 @@ class ShardedIndex:
         return step
 
     def scan_route_step_fn(self, limit: int, probe_shards: int | None = None,
-                           approx: bool = True):
+                           approx: bool = True, merge: str = "ici"):
         """MXU Hamming scan over the mesh: per-shard int8 bit-matmul + local
         top-L, then ICI all_gather + exact merge by fine score (global top-L
         ⊆ union of per-shard top-Ls).  The collective payload is L ids+
-        scores per shard — no vector content, no codes cross the wire."""
+        scores per shard — no vector content, no codes cross the wire.
+
+        ``merge="host"`` skips the collective entirely: per-shard top-Ls
+        come back SHARDED (out dim 1) and :func:`host_merge_topl` does the
+        same exact 2-key merge on the host — bit-identical results.  Right
+        when the mesh is emulated (XLA:CPU's in-process communicator
+        hard-aborts rendezvous after 40 s when one emulated device lags)
+        or the serving host sits closer to the shards than the ICI."""
         bank = self.bank
         axis = self.axis
         rows = self.shard_rows
@@ -615,13 +660,7 @@ class ShardedIndex:
         dead = jnp.int32(1 << 30)   # survives the f32 round trip exactly
         cb = bank.code_bits
 
-        # n_live is a TRACED scalar (not a closure constant) so live
-        # inserts extend the served row count without recompiling the step
-        @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=(P(axis), P(axis), P(axis), P(None), P()),
-                 out_specs=(P(None), P(None)),
-                 check_vma=False)
-        def step(bits_local, popc_local, tombs_local, queries, n_live):
+        def local_topl(bits_local, popc_local, tombs_local, queries, n_live):
             qcodes, _ = coding.encode(queries, bank)
             qbits = hamming_scan.unpack_bits_device(qcodes, cb)
             dots = jax.lax.dot_general(
@@ -648,6 +687,28 @@ class ShardedIndex:
                              idx.astype(jnp.int32)
                              + jax.lax.axis_index(axis) * rows, pad32)
             sc = jnp.where(live, fine + qpopc[:, None], pad32)
+            return gids, sc
+
+        # n_live is a TRACED scalar (not a closure constant) so live
+        # inserts extend the served row count without recompiling the step
+        if merge == "host":
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(axis), P(axis), P(axis), P(None), P()),
+                     out_specs=(P(None, axis), P(None, axis)),
+                     check_vma=False)
+            def step(bits_local, popc_local, tombs_local, queries, n_live):
+                return local_topl(bits_local, popc_local, tombs_local,
+                                  queries, n_live)
+
+            return step
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P(axis), P(None), P()),
+                 out_specs=(P(None), P(None)),
+                 check_vma=False)
+        def step(bits_local, popc_local, tombs_local, queries, n_live):
+            gids, sc = local_topl(bits_local, popc_local, tombs_local,
+                                  queries, n_live)
             all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
             all_sc = jax.lax.all_gather(sc, axis, axis=1, tiled=True)
             msc, mids = jax.lax.sort((all_sc, all_ids), dimension=-1,
@@ -660,12 +721,15 @@ class ShardedIndex:
 
     def scan_route_step_fn_packed(self, limit: int,
                                   probe_shards: int | None = None,
-                                  approx: bool = True, chunk: int = 1 << 19):
+                                  approx: bool = True, chunk: int = 1 << 19,
+                                  merge: str = "ici"):
         """Packed-layout mesh scan: each shard runs a chunked running-top-L
         loop — slice ``chunk`` packed rows, unpack on-device, MXU
         bit-matmul, 2-key merge — so only [chunk, B] of unpacked scratch
         ever exists per device (the resident state is the 8×-smaller word
-        matrix).  Merge + collective identical to the unpacked step."""
+        matrix).  Merge + collective identical to the unpacked step;
+        ``merge="host"`` returns per-shard top-Ls sharded for
+        :func:`host_merge_topl` (no collective — see scan_route_step_fn)."""
         bank = self.bank
         axis = self.axis
         rows = self.shard_rows
@@ -678,11 +742,8 @@ class ShardedIndex:
         chunk = min(chunk, rows)
         nc = -(-rows // chunk)
 
-        @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=(P(axis), P(axis), P(axis), P(None), P()),
-                 out_specs=(P(None), P(None)),
-                 check_vma=False)
-        def step(words_local, popc_local, tombs_local, queries, n_live):
+        def local_topl(words_local, popc_local, tombs_local, queries,
+                       n_live):
             qcodes, _ = coding.encode(queries, bank)
             qbits = hamming_scan.unpack_bits_device(qcodes, cb)
             qpopc = jnp.sum(qbits.astype(jnp.int32), axis=1)
@@ -720,6 +781,26 @@ class ShardedIndex:
             live = best_sc < dead
             gids = jnp.where(live, best_id + base_gid, pad32)
             sc = jnp.where(live, best_sc + qpopc[:, None], pad32)
+            return gids, sc
+
+        if merge == "host":
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(axis), P(axis), P(axis), P(None), P()),
+                     out_specs=(P(None, axis), P(None, axis)),
+                     check_vma=False)
+            def step(words_local, popc_local, tombs_local, queries, n_live):
+                return local_topl(words_local, popc_local, tombs_local,
+                                  queries, n_live)
+
+            return step
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P(axis), P(None), P()),
+                 out_specs=(P(None), P(None)),
+                 check_vma=False)
+        def step(words_local, popc_local, tombs_local, queries, n_live):
+            gids, sc = local_topl(words_local, popc_local, tombs_local,
+                                  queries, n_live)
             all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
             all_sc = jax.lax.all_gather(sc, axis, axis=1, tiled=True)
             msc, mids = jax.lax.sort((all_sc, all_ids), dimension=-1,
@@ -745,20 +826,26 @@ class ShardedIndex:
     def scan_route_dispatch(self, queries: np.ndarray, limit: int = 2048,
                             probe_shards: int | None = None,
                             approx: bool = True):
-        """Non-blocking stage-A dispatch (device arrays, D2H started)."""
+        """Non-blocking stage-A dispatch (device arrays, D2H started).
+        With ``merge_backend="host"`` the merge happens here and the
+        return is host numpy (the call blocks on the shard top-Ls)."""
         packed = self.words is not None
         if self.bits is None and not packed:
             raise RuntimeError("scan requires build(keep_bits=True)")
-        key = ("scanp" if packed else "scan", limit, probe_shards, approx)
+        key = ("scanp" if packed else "scan", limit, probe_shards, approx,
+               self.merge_backend)
         step = self._steps.get(key)
         if step is None:
             mk = self.scan_route_step_fn_packed if packed \
                 else self.scan_route_step_fn
-            step = jax.jit(mk(limit, probe_shards, approx))
+            step = jax.jit(mk(limit, probe_shards, approx,
+                              merge=self.merge_backend))
             self._steps[key] = step
         ids, sc = step(self.words if packed else self.bits, self.popc,
                        self.tombs, jnp.asarray(queries, jnp.float32),
                        jnp.int32(self.n))
+        if self.merge_backend == "host":
+            return host_merge_topl(ids, sc, limit)
         self._start_host_copy(ids, sc)
         return ids, sc
 

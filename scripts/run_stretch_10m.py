@@ -117,6 +117,11 @@ def main():
             refinement_limit=56000, max_global_candidates=56000,
             adaptive_decrypt_margin=40, block_size=128,
             scan_packed="on",              # the stretch layout under test
+            # emulated mesh: the host 2-key merge (bit-identical to the
+            # ICI merge — tests/test_distributed_serving.py) avoids
+            # XLA:CPU's 40s in-process rendezvous abort, which a 10M-row
+            # per-shard scan on a 1-core host trips nondeterministically
+            mesh_merge=os.environ.get("STRETCH_MERGE", "host"),
             storage_dtype=DTYPE, encode_backend="cpu"))
     code_bits = cfg.paper.num_groups * cfg.paper.code_bits
 

@@ -847,3 +847,36 @@ def test_mesh_search_batches_pipelined_matches_sequential(tmp_path, rng):
                 np.testing.assert_allclose(d1, d2, rtol=1e-6)
         finally:
             sys_.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+@pytest.mark.parametrize("layout", [True, "packed"])
+def test_host_merge_matches_ici_merge(rng, layout):
+    """merge_backend="host" (sharded per-shard top-Ls + host 2-key merge,
+    no collective in the query step) is bit-identical to the ICI
+    all_gather merge — packed and unpacked layouts, with tombstones and
+    live-insert headroom in play."""
+    n, d, q, L = 1500, 12, 5, 64
+    base = rng.normal(size=(n, d)).astype(np.float32) * 4
+    queries = base[:q] + 0.05
+
+    mesh = make_mesh()
+    bank = coding.build_bank_from_sample(base[:512], m=8, lam=2, tables=3,
+                                         divisions=2, seed=5)
+    idx = ShardedIndex(mesh, bank, block_size=32)
+    idx.build(base, keep_base=False, keep_bits=layout, capacity=n + 128)
+    idx.mark_deleted(np.arange(0, n, 97))       # scattered tombstones
+
+    ids_ici, sc_ici = idx.scan_route(queries, limit=L, approx=False)
+    idx.merge_backend = "host"
+    ids_host, sc_host = idx.scan_route(queries, limit=L, approx=False)
+    np.testing.assert_array_equal(np.asarray(ids_ici), ids_host)
+    np.testing.assert_array_equal(np.asarray(sc_ici), sc_host)
+
+    # approx path too (same approx_max_k inputs -> same outputs per shard)
+    idx.merge_backend = "ici"
+    a_ids, a_sc = idx.scan_route(queries, limit=L, approx=True)
+    idx.merge_backend = "host"
+    b_ids, b_sc = idx.scan_route(queries, limit=L, approx=True)
+    np.testing.assert_array_equal(np.asarray(a_ids), b_ids)
+    np.testing.assert_array_equal(np.asarray(a_sc), b_sc)

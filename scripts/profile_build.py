@@ -9,7 +9,9 @@ accumulators:
   finalize: partition table build vs scan-state build (device upload)
 
 Usage: JAX_PLATFORMS=cpu python scripts/profile_build.py [N] [M]
-       (BENCH_DTYPE to vary storage dtype)
+       (BENCH_DTYPE to vary storage dtype; BENCH_ENCODE=cpu|default to
+       A/B host vs device encode — run WITHOUT JAX_PLATFORMS=cpu for the
+       device side so "default" goes through the real TPU)
 """
 
 import os
@@ -65,10 +67,22 @@ def main():
             refinement_limit=56000, max_global_candidates=56000,
             rerank_limit=2000, adaptive_decrypt_margin=40,
             routing_mode="scan", storage_dtype=dtype,
-            encode_backend="cpu"))
+            encode_backend=os.environ.get("BENCH_ENCODE", "cpu")))
 
     # section wraps
     coding.encode_numpy = timed("encode", coding.encode_numpy)
+
+    _dev_encode = coding.encode
+
+    def _timed_dev_encode(*a, **kw):
+        t0 = time.perf_counter()
+        out = _dev_encode(*a, **kw)
+        import jax as _jax
+        out = _jax.block_until_ready(out)   # charge the device round trip here
+        SEC["encode"] = SEC.get("encode", 0.0) + time.perf_counter() - t0
+        return out
+
+    coding.encode = _timed_dev_encode
     partition.build_partitions_numpy = timed(
         "table_build", partition.build_partitions_numpy)
     hamming_scan.build_scan_state = timed(

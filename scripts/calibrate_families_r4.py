@@ -61,6 +61,10 @@ def gen(fam, knob):
     from fspann_tpu.io import synthetic
 
     if fam == "glove":
+        # CAL_GLOVE_KNOB=norm_sigma sweeps the lognormal norm spread
+        # instead (the bucket-width breaker) when spectrum proves flat
+        if os.environ.get("CAL_GLOVE_KNOB", "spectrum") == "norm_sigma":
+            return synthetic.glove_like_corpus(N, 100, NQ, norm_sigma=knob)
         return synthetic.glove_like_corpus(N, 100, NQ, spectrum=knob)
     return synthetic.redcaps_like_corpus(N, 512, NQ, cone=knob)
 
@@ -87,9 +91,13 @@ def main():
             gtm = groundtruth.precompute(base, queries, k=100)
             print(f"{fam} knob={knob}: corpus+GT {time.time()-t0:.0f}s",
                   flush=True)
+            kname = os.environ.get("CAL_GLOVE_KNOB", "spectrum") \
+                if fam == "glove" else "cone"
+            tag = f"{fam}@{knob}" if kname in ("spectrum", "cone") \
+                else f"{fam}@{kname}={knob}"
             for prof, ref in spec["profiles"].items():
                 t0 = time.time()
-                run_profile(f"{fam}@{knob}", base, queries, gtm, cfg_path,
+                run_profile(tag, base, queries, gtm, cfg_path,
                             prof)
                 print(f"  {prof}: ref_r100={ref} ({time.time()-t0:.0f}s)",
                       flush=True)

@@ -131,7 +131,11 @@ def main():
         gt = np.asarray(gtm.gt)
         print(f"{fam}: corpus+GT {time.perf_counter()-t0:.0f}s", flush=True)
 
+        only = {p for p in os.environ.get(
+            "ORACLE_PROFILES", "").split(",") if p}
         for prof, ref_r100 in spec["profiles"].items():
+            if only and prof not in only:
+                continue
             cfg = load_config(os.path.join(ROOT, "configs", spec["cfg"]),
                               profile=prof)
             pp, rt = cfg.paper, cfg.runtime

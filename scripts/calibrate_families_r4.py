@@ -66,6 +66,10 @@ def gen(fam, knob):
         if os.environ.get("CAL_GLOVE_KNOB", "spectrum") == "norm_sigma":
             return synthetic.glove_like_corpus(N, 100, NQ, norm_sigma=knob)
         return synthetic.glove_like_corpus(N, 100, NQ, spectrum=knob)
+    # CAL_REDCAPS_KNOB=d_eff sweeps the latent dimensionality — the
+    # distance-concentration lever itself — when cone proves flat
+    if os.environ.get("CAL_REDCAPS_KNOB", "cone") == "d_eff":
+        return synthetic.redcaps_like_corpus(N, 512, NQ, d_eff=int(knob))
     return synthetic.redcaps_like_corpus(N, 512, NQ, cone=knob)
 
 
@@ -92,7 +96,8 @@ def main():
             print(f"{fam} knob={knob}: corpus+GT {time.time()-t0:.0f}s",
                   flush=True)
             kname = os.environ.get("CAL_GLOVE_KNOB", "spectrum") \
-                if fam == "glove" else "cone"
+                if fam == "glove" \
+                else os.environ.get("CAL_REDCAPS_KNOB", "cone")
             tag = f"{fam}@{knob}" if kname in ("spectrum", "cone") \
                 else f"{fam}@{kname}={knob}"
             for prof, ref in spec["profiles"].items():

@@ -68,10 +68,15 @@ def emit(row):
 def gen_corpus(fam, d):
     from fspann_tpu.io import synthetic
 
+    # hardness-equivalence knobs (round-4 calibration,
+    # bench_results/calib_r4.jsonl): FAM_GLOVE_NORM_SIGMA=0.4 /
+    # FAM_REDCAPS_D_EFF reproduce the reference's measured probe bands
     if fam == "glove":
-        return synthetic.glove_like_corpus(N, d, NQ)
+        ns = float(os.environ.get("FAM_GLOVE_NORM_SIGMA", 0.55))
+        return synthetic.glove_like_corpus(N, d, NQ, norm_sigma=ns)
     if fam == "redcaps":
-        return synthetic.redcaps_like_corpus(N, d, NQ)
+        de = int(os.environ.get("FAM_REDCAPS_D_EFF", 512))
+        return synthetic.redcaps_like_corpus(N, d, NQ, d_eff=de)
     if fam == "gist":
         return synthetic.lsh_hard_corpus(N, d, NQ)
     raise ValueError(fam)

@@ -36,7 +36,8 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(ROOT, "bench_results", "families_r3")
+OUT_DIR = os.path.join(ROOT, "bench_results",
+                       os.environ.get("FAM_OUT_DIR", "families_r3"))
 OUT = os.path.join(OUT_DIR, "results.jsonl")
 
 N = int(os.environ.get("FAM_N", 1_000_000))

@@ -20,9 +20,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
 if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache (same as bench.py): without it, every TPU-arm
+# run pays 1-3 min of remote compile per shape through the tunnel, which
+# is exactly the "insert-other" anomaly this script was built to chase.
+_cache = os.environ.get(
+    "JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 
@@ -96,6 +108,17 @@ def main():
     ps_mod.PointStore.insert_batch = timed(
         "store_insert", ps_mod.PointStore.insert_batch)
 
+    # localize the "insert-other" gap (round-4 TPU-platform anomaly):
+    # rotation checks, staging entry, bank init
+    from fspann_tpu.crypto import rotation as rot_mod
+    from fspann_tpu.index import service as idx_mod
+    rot_mod.KeyRotationService.rotate_if_needed = timed(
+        "rotate_check", rot_mod.KeyRotationService.rotate_if_needed)
+    idx_mod.PartitionedIndex.stage = timed(
+        "stage_total", idx_mod.PartitionedIndex.stage)
+    idx_mod.PartitionedIndex._init_bank = timed(
+        "bank_init", idx_mod.PartitionedIndex._init_bank)
+
     with tempfile.TemporaryDirectory(prefix="fspann_pb_") as work:
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"), d,
                                       query_batch=64)
@@ -110,6 +133,7 @@ def main():
             "store_insert", 0) - SEC.get("encode", 0)
         print("sections (s):")
         for k in ("quantize", "seal", "store_insert", "encode",
+                  "stage_total", "bank_init", "rotate_check",
                   "table_build", "scan_state"):
             print(f"  {k:12s} {SEC.get(k, 0.0):7.1f}")
         print(f"  {'insert-other':12s} {other_ins:7.1f}  "

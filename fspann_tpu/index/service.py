@@ -76,6 +76,7 @@ class PartitionedIndex:
         self._scan_budget_cache: int | None = None
         # staging
         self._bank_cpu = None
+        self._bank_dev = None       # lazy device copy (banks build host-side)
         self._pending_vecs: list[np.ndarray] = []   # pre-bank raw vectors
         self._pending_ids: list[np.ndarray] = []
         self._codes: list[np.ndarray] = []          # [b, G, W] uint32
@@ -101,6 +102,7 @@ class PartitionedIndex:
         self.bank = coding.build_bank_from_sample(
             sample, pp.m, pp.lam, pp.tables, pp.divisions, pp.seed,
             pp.omega_divisor)
+        self._bank_cpu = self._bank_dev = None
         if self.bank_path:
             self._save_bank(self.bank_path)
 
@@ -128,6 +130,7 @@ class PartitionedIndex:
         self.bank = coding.bank_from_stats(
             z["omega"], z["r"], self.dim, pp.m, pp.lam, pp.tables,
             pp.divisions, int(z["seed"]))
+        self._bank_cpu = self._bank_dev = None
 
     # -- ingestion ----------------------------------------------------------------
 
@@ -164,6 +167,18 @@ class PartitionedIndex:
             return
         self._encode_staged(ids, vecs)
 
+    def _dev_bank(self) -> coding.GBank:
+        """Device-resident bank copy for the encode_backend="device" paths.
+        Banks are BUILT on the host (device-free insert path, round 5) and
+        shipped to the device ONCE here instead of re-transferring alpha
+        ([G, m, d] — e.g. 25 MB at the 768-d stretch geometry) per batch."""
+        if self._bank_dev is None:
+            b = self.bank
+            self._bank_dev = coding.GBank(
+                jnp.asarray(b.alpha), jnp.asarray(b.r), jnp.asarray(b.omega),
+                b.m, b.lam, b.tables, b.divisions, b.seed)
+        return self._bank_dev
+
     def _host_bank(self) -> coding.GBank:
         if self._bank_cpu is None:
             self._bank_cpu = coding.GBank(
@@ -179,7 +194,7 @@ class PartitionedIndex:
             # the device once at finalize
             codes, keys = coding.encode_numpy(vecs, self._host_bank())
         else:
-            codes, keys = coding.encode(jnp.asarray(vecs), self.bank)
+            codes, keys = coding.encode(jnp.asarray(vecs), self._dev_bank())
         self._codes.append(np.asarray(codes))
         self._keys.append(np.asarray(keys))
         self._ids.append(ids)
@@ -286,7 +301,7 @@ class PartitionedIndex:
         if self.cfg.runtime.encode_backend == "cpu":
             codes, _ = coding.encode_numpy(vecs, self._host_bank())
         else:
-            codes, _ = coding.encode(jnp.asarray(vecs), self.bank)
+            codes, _ = coding.encode(jnp.asarray(vecs), self._dev_bank())
             codes = np.asarray(codes)
         st = self._scan_state
         if st is not None and self._n_rows + len(ids) > self._scan_rows:
@@ -411,7 +426,7 @@ class PartitionedIndex:
             # boundaries
             return coding.encode_numpy(np.asarray(queries, np.float32),
                                        self._host_bank())
-        qc, qk = coding.encode(jnp.asarray(queries, jnp.float32), self.bank)
+        qc, qk = coding.encode(jnp.asarray(queries, jnp.float32), self._dev_bank())
         return qc, qk
 
     def route_batch(self, qcodes, qkeys, probes: int | None = None,

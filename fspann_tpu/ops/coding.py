@@ -48,6 +48,10 @@ class GBank:
     alpha: jax.Array   # f32 [G, m, d]  row-normalized Gaussian projections
     r: jax.Array       # f32 [G, m]     offsets in [0, omega)
     omega: jax.Array   # f32 [G, m]     bucket widths > 0
+    # NOTE: banks are BUILT on the host CPU backend and held as numpy
+    # arrays (device-free build — see _cpu_device below); device consumers
+    # transfer them once (index service caches a device copy, the mesh
+    # device_puts per shard).  jit accepts the numpy fields directly.
     m: int
     lam: int
     tables: int
@@ -71,16 +75,38 @@ class GBank:
         return (self.code_bits + 31) // 32
 
 
-def _alpha_from_seed(seed: int, g: int, m: int, d: int) -> jax.Array:
-    key = jax.random.fold_in(jax.random.PRNGKey(np.uint32(seed)), 0x414C5048)
-    a = jax.random.normal(key, (g, m, d), dtype=jnp.float32)
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True), 1e-12))
-    return a / norm
+def _cpu_device():
+    """The host CPU device — ALWAYS present, even under JAX_PLATFORMS=axon.
+
+    Bank construction is pinned here for two reasons (round 5):
+    1. Determinism: alpha regenerates from the seed on restore
+       (``bank_from_stats``); pinning the RNG + normalize to one backend
+       makes it bit-identical across CPU tests, TPU serving, and any
+       future platform (threefry bits are platform-stable; the f32
+       normalize reduction order is not guaranteed to be).
+    2. The build must be device-free: through the axon tunnel the first
+       bank op in a fresh process absorbed 300-760s of remote-compile /
+       worker weather into the insert path (BENCH_r05 wedge demo +
+       headline2 ``bank_init_s``) for ~1e8 FLOPs of actual work.
+    """
+    return jax.local_devices(backend="cpu")[0]
 
 
-def _r_unit_from_seed(seed: int, g: int, m: int) -> jax.Array:
-    key = jax.random.fold_in(jax.random.PRNGKey(np.uint32(seed)), 0x4F464653)
-    return jax.random.uniform(key, (g, m), dtype=jnp.float32)
+def _alpha_from_seed(seed: int, g: int, m: int, d: int) -> np.ndarray:
+    with jax.default_device(_cpu_device()):
+        key = jax.random.fold_in(jax.random.PRNGKey(np.uint32(seed)),
+                                 0x414C5048)
+        a = jax.random.normal(key, (g, m, d), dtype=jnp.float32)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True),
+                                    1e-12))
+        return np.asarray(a / norm)
+
+
+def _r_unit_from_seed(seed: int, g: int, m: int) -> np.ndarray:
+    with jax.default_device(_cpu_device()):
+        key = jax.random.fold_in(jax.random.PRNGKey(np.uint32(seed)),
+                                 0x4F464653)
+        return np.asarray(jax.random.uniform(key, (g, m), dtype=jnp.float32))
 
 
 def build_random_bank(d: int, m: int, lam: int, tables: int, divisions: int,
@@ -89,7 +115,7 @@ def build_random_bank(d: int, m: int, lam: int, tables: int, divisions: int,
     (reference Coding.buildRandomG:136-161)."""
     g = tables * divisions
     alpha = _alpha_from_seed(seed, g, m, d)
-    om = jnp.full((g, m), jnp.float32(omega))
+    om = np.full((g, m), np.float32(omega))
     r = _r_unit_from_seed(seed, g, m) * om
     return GBank(alpha, r, om, m, lam, tables, divisions, seed)
 
@@ -119,8 +145,11 @@ def build_bank_from_sample(sample: np.ndarray | jax.Array, m: int, lam: int,
     d = np.shape(sample)[-1]
     alpha = _alpha_from_seed(seed, g, m, d)
     r_unit = _r_unit_from_seed(seed, g, m)
-    r, omega = _omega_from_sample(jnp.asarray(sample, jnp.float32), alpha,
-                                  r_unit, omega_divisor)
+    with jax.default_device(_cpu_device()):
+        r, omega = _omega_from_sample(
+            jnp.asarray(np.asarray(sample), jnp.float32), alpha, r_unit,
+            omega_divisor)
+        r, omega = np.asarray(r), np.asarray(omega)
     return GBank(alpha, r, omega, m, lam, tables, divisions, seed)
 
 
@@ -130,8 +159,8 @@ def bank_from_stats(omega: np.ndarray, r: np.ndarray, d: int, m: int, lam: int,
     path: alpha is regenerated from the seed, stats are exact."""
     g = tables * divisions
     alpha = _alpha_from_seed(seed, g, m, d)
-    return GBank(alpha, jnp.asarray(r, jnp.float32),
-                 jnp.asarray(omega, jnp.float32), m, lam, tables, divisions,
+    return GBank(alpha, np.asarray(r, np.float32),
+                 np.asarray(omega, np.float32), m, lam, tables, divisions,
                  seed)
 
 

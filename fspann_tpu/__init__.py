@@ -43,6 +43,20 @@ if _env_platforms and _env_platforms != _cfg_platforms and \
     except Exception:  # noqa: BLE001 — never block import on platform quirks
         pass
 
+# The host CPU backend must always be reachable (device-free bank build —
+# ops/coding._cpu_device): the image boot exports JAX_PLATFORMS=axon, which
+# pins the config to the TPU plugin ONLY, so jax.local_devices(backend="cpu")
+# raises "Unknown backend cpu".  Widen the platform list with a trailing
+# "cpu" — a trailing entry never changes the default backend (first in the
+# list wins), it only makes the cpu backend resolvable.  Runs after the
+# honoring block above so an env-narrowed choice is widened too.
+_cfg_platforms = getattr(jax.config, "jax_platforms", None) or ""
+if _cfg_platforms and "cpu" not in _cfg_platforms.split(","):
+    try:
+        jax.config.update("jax_platforms", _cfg_platforms + ",cpu")
+    except Exception:  # noqa: BLE001 — never block import on platform quirks
+        pass
+
 # Routing keys are 63-bit sortable integers (reference:
 # index/paper/GreedyPartitioner.java:87-96).  We carry them as int64, which
 # XLA emulates on TPU; all floating point arrays in this package are

@@ -88,8 +88,16 @@ def _cpu_device():
        bank op in a fresh process absorbed 300-760s of remote-compile /
        worker weather into the insert path (BENCH_r05 wedge demo +
        headline2 ``bank_init_s``) for ~1e8 FLOPs of actual work.
+
+    The package ``__init__`` widens ``jax_platforms`` with a trailing
+    ``cpu`` so this backend exists even under the boot-exported
+    ``JAX_PLATFORMS=axon``; if a caller re-narrowed the config afterwards,
+    fall back to the default device rather than fail the build.
     """
-    return jax.local_devices(backend="cpu")[0]
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None  # jax.default_device(None) == system default
 
 
 def _alpha_from_seed(seed: int, g: int, m: int, d: int) -> np.ndarray:

@@ -53,12 +53,24 @@ def test_env_choice_honored_when_config_widened():
     assert got == "cpu"
 
 
-def test_default_boot_state_untouched():
+def test_default_boot_state_widened_with_trailing_cpu():
+    # boot state (config=axon, env=axon): the package appends a trailing
+    # ',cpu' so the host backend is always resolvable (device-free bank
+    # build, ops/coding._cpu_device).  The default backend is unchanged —
+    # first platform in the list wins — so device compute stays on axon.
     got = _run(
         "jax.config.update('jax_platforms', 'axon')\n"
         "import fspann_tpu\n"
         "print(jax.config.jax_platforms)\n", env_platforms="axon")
-    assert got == "axon"
+    assert got == "axon,cpu"
+
+
+def test_widening_is_noop_when_cpu_already_present():
+    got = _run(
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import fspann_tpu\n"
+        "print(jax.config.jax_platforms)\n", env_platforms="cpu")
+    assert got == "cpu"
 
 
 def test_env_naming_unpinned_platform_ignored():

@@ -12,7 +12,7 @@ SIFT_P4_FAST — ART 1429.8 ms/query at recall@100 0.55 ⇒ 0.699 q/s
 equally-hard corpus sits in the same band, so vs_baseline = q/s ÷ 0.699 is
 a throughput ratio at comparable recall, not a recall-for-speed trade.
 
-Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (256),
+Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_Q (1024),
 BENCH_BATCH (64), BENCH_DTYPE (f16 default | f32 | i8), BENCH_CORPUS
 (hard|easy, default hard — the LSH-hard instance, io/synthetic.py),
 BENCH_PROBES (-1 = profile default), BENCH_ROUTING (scan|probe),
@@ -189,7 +189,11 @@ def main():
         platform = "cpu-fallback"
     n = int(os.environ.get("BENCH_N", 1_000_000))
     d = int(os.environ.get("BENCH_D", 128))
-    q = int(os.environ.get("BENCH_Q", 256))
+    # 1024 queries (r5, was 256): at batch 64 a pass yields 16 per-batch
+    # latency windows, and the tail percentiles pool all BENCH_REPEATS
+    # passes (80 samples at the defaults) — 256 gave 4/pass, which made
+    # p99 == p95 == max a tautology
+    q = int(os.environ.get("BENCH_Q", 1024))
     # Batch 64 + f32: the best recorded headline row (328.6 q/s) is at 64.
     # A same-build A/B at the parity config (scripts/calib_tpu_op.py,
     # bench_results/calib_tpu_op_ab.log) shows batch 128 slightly ahead in
@@ -341,6 +345,13 @@ def main():
         t_finalize = time.perf_counter() - t0
         t_build = t_insert + t_finalize
         build_stages = _build_stage_summary(t_insert, t_finalize)
+        # finalize phases, measured BLOCKING inside the index (device
+        # uploads + first remote compile land in their own keys — a tunnel
+        # or worker stall is attributed, never an unaccounted residual)
+        fin_sec = dict(getattr(sys_.index, "finalize_sec", {}))
+        finalize_stages = {k + "_s": round(v, 1) for k, v in fin_sec.items()}
+        finalize_stages["finalize_other_s"] = round(
+            max(t_finalize - sum(fin_sec.values()), 0.0), 1)
         host_bw_post = _host_bw_probe()
         log(f"build: {t_build:.1f}s for {n} pts "
             f"(insert {t_insert:.1f} + finalize {t_finalize:.1f}; "
@@ -362,6 +373,7 @@ def main():
         repeats = max(int(os.environ.get("BENCH_REPEATS", 5)), 1)
         best = None
         repeat_qps = []
+        all_art = []   # per-query ART pooled over every pass (tail evidence)
         for rep in range(repeats):
             sys_.profiler.clear_rows()
             t0 = time.perf_counter()
@@ -370,6 +382,7 @@ def main():
             qps_i = q / wall_i
             repeat_qps.append(round(qps_i, 1))
             rows_i = [r for r in sys_.profiler.rows if r.k == 10]
+            all_art.extend(r.server_ms for r in rows_i)
             log(f"pass {rep + 1}/{repeats}: {agg_i.paper_line()}  "
                 f"wall {wall_i:.2f}s -> {qps_i:.1f} q/s")
             if best is None or qps_i > best[0]:
@@ -400,6 +413,15 @@ def main():
             "p95_art_ms": round(agg.p95_art_ms, 2),
             "p99_art_ms": round(agg.p99_art_ms, 2),
             "p999_art_ms": round(agg.p999_art_ms, 2),
+            # tail over the POOLED per-query series of every pass — weather
+            # variation across passes is real tail, and pooling gives
+            # repeats x queries samples instead of one pass's worth
+            "tail_all_passes": {
+                "p99_art_ms": round(float(np.percentile(all_art, 99)), 2),
+                "p999_art_ms": round(float(np.percentile(all_art, 99.9)), 2),
+                "max_art_ms": round(float(np.max(all_art)), 2),
+                "samples": len(all_art),
+            },
             "wall_s": round(wall, 2),
             "repeat_qps": repeat_qps,   # best-of-N vs host DRAM weather
             "build_s": round(t_build, 1),
@@ -410,6 +432,7 @@ def main():
             # stages with depressed host_bw_gbs; a regression shows one
             # stage growing at constant host_bw_gbs (VERDICT r4 #1)
             "build_stages": build_stages,
+            "finalize_stages": finalize_stages,
             "device_claim_s": round(device_claim_s, 1),
             "host_bw_gbs": round(host_bw_start, 3),
             "host_bw_gbs_post_build": round(host_bw_post, 3),

@@ -19,6 +19,7 @@ ciphertexts at all.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -240,37 +241,60 @@ class PartitionedIndex:
         self._row_ids = ids.astype(np.int64)
         self._dense = bool(len(ids) and ids[0] == 0
                            and ids[-1] == len(ids) - 1)
+        # Per-phase wall clocks, BLOCKING on device work so the artifact of
+        # record attributes finalize time truthfully: a tunnel/worker stall
+        # shows up in the device phase that absorbed it (scan_upload /
+        # table_upload), not as an unaccounted residual (BENCH_r05
+        # headline4: 947s finalize with 8s of host work — the hole was an
+        # untimed async device upload + first remote compile).
+        self.finalize_sec: dict[str, float] = {}
+        t0 = time.perf_counter()
         if (self.cfg.runtime.rerank_limit > 0
                 and self.cfg.runtime.routing_mode != "scan"):
             # probe-path rerank only; the scan keeps unpacked bits instead
-            self.point_codes = jax.device_put(codes)
+            self.point_codes = jax.block_until_ready(jax.device_put(codes))
+            self.finalize_sec["rerank_codes_upload"] = \
+                time.perf_counter() - t0
         if self.cfg.runtime.routing_mode == "scan":
             self._scan_codes = np.asarray(codes)   # persisted by save_table
             # when the native CPU kernel will serve stage A, the device
             # scan state is dead weight — at 1M x 2,304-bit codes the
             # unpacked bit matrix is 2.3 GB of host RAM plus a full host
             # unpack pass; the kernel reads the packed words directly
-            self._scan_state = None if self._native_preferred() \
-                else self._make_scan_state(self._scan_codes)
+            t0 = time.perf_counter()
+            if self._native_preferred():
+                self._scan_state = None
+            else:
+                self._scan_state = self._make_scan_state(self._scan_codes)
+                jax.block_until_ready(self._scan_state)
+            self.finalize_sec["scan_upload"] = time.perf_counter() - t0
         if self.cfg.runtime.encode_backend == "cpu":
             # sort/build on the host too (numpy), then ship the compact
             # table to the session device in one transfer
+            t0 = time.perf_counter()
             table = partition.build_partitions_numpy(
                 np.ascontiguousarray(np.transpose(keys, (1, 0))),
                 np.ascontiguousarray(np.transpose(codes, (1, 0, 2))),
                 self.cfg.runtime.block_size)
-            self.table = jax.device_put(table)
+            self.finalize_sec["table_build"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            self.table = jax.block_until_ready(jax.device_put(table))
+            self.finalize_sec["table_upload"] = time.perf_counter() - t0
         else:
+            t0 = time.perf_counter()
             codes_gn = jnp.asarray(np.transpose(codes, (1, 0, 2)))
             keys_gn = jnp.asarray(np.transpose(keys, (1, 0)))
-            self.table = partition.build_partitions(keys_gn, codes_gn,
-                                                    self.cfg.runtime.block_size)
+            self.table = jax.block_until_ready(partition.build_partitions(
+                keys_gn, codes_gn, self.cfg.runtime.block_size))
+            self.finalize_sec["table_build"] = time.perf_counter() - t0
         self._n_rows = len(ids)
         self._codes.clear(); self._keys.clear(); self._ids.clear()
         self.frozen = True
         self._tombstones_dirty = True
         if self.table_path:
+            t0 = time.perf_counter()
             self.save_table(self.table_path)
+            self.finalize_sec["save_table"] = time.perf_counter() - t0
 
     # -- live ingestion (scan mode) ---------------------------------------------------
 

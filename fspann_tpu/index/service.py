@@ -64,6 +64,14 @@ class PartitionedIndex:
         self.bank: coding.GBank | None = None
         self.frozen = False
         self.table: PartitionTable | None = None
+        # host (numpy) twin of the frozen table + probe-mode rerank codes:
+        # save_table writes from these so a checkpoint never pulls device
+        # arrays back through the axon tunnel (measured 33-727s of D2H per
+        # save at 1M before round 5 — bench_r5_gist960's finalize_stages
+        # caught it).  The table is immutable post-finalize (append_rows
+        # only marks it stale), so the twin cannot diverge.
+        self._table_host: PartitionTable | None = None
+        self._codes_host = None
         # uint32 [N, G, W] per-point packed codes, device-resident only when
         # runtime.rerank_limit > 0 (the full-code re-rank stage needs them;
         # G*W words/point of HBM — e.g. 192MB at 1M rows, G=24, W=2)
@@ -253,6 +261,7 @@ class PartitionedIndex:
                 and self.cfg.runtime.routing_mode != "scan"):
             # probe-path rerank only; the scan keeps unpacked bits instead
             self.point_codes = jax.block_until_ready(jax.device_put(codes))
+            self._codes_host = codes
             self.finalize_sec["rerank_codes_upload"] = \
                 time.perf_counter() - t0
         if self.cfg.runtime.routing_mode == "scan":
@@ -277,6 +286,7 @@ class PartitionedIndex:
                 np.ascontiguousarray(np.transpose(codes, (1, 0, 2))),
                 self.cfg.runtime.block_size)
             self.finalize_sec["table_build"] = time.perf_counter() - t0
+            self._table_host = table
             t0 = time.perf_counter()
             self.table = jax.block_until_ready(jax.device_put(table))
             self.finalize_sec["table_upload"] = time.perf_counter() - t0
@@ -654,13 +664,17 @@ class PartitionedIndex:
         (restoreIndexFromDisk:926-948); the table is deterministic given the
         data, so persisting it skips that work.  Tagged with the config so a
         mismatched profile falls back to the rebuild path."""
-        t = self.table
+        # prefer the host twin: np.asarray on a device-resident table is a
+        # full D2H through the axon tunnel per save (round-5 finding)
+        t = self._table_host if self._table_host is not None else self.table
         pp = self.cfg.paper
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         extra = {}
         if self._scan_codes is not None:   # scan mode; grows with appends
             extra["point_codes"] = self._scan_codes
+        elif self._codes_host is not None:
+            extra["point_codes"] = self._codes_host
         elif self.point_codes is not None:
             extra["point_codes"] = np.asarray(self.point_codes)
         np.savez(tmp,
@@ -706,13 +720,16 @@ class PartitionedIndex:
                 return False
             if rt.rerank_limit > 0 and rt.routing_mode != "scan":
                 self.point_codes = jax.device_put(codes)
+                self._codes_host = codes
             if rt.routing_mode == "scan":
                 self._scan_codes = codes
                 self._scan_state = None if self._native_preferred() \
                     else self._make_scan_state(codes)
-        self.table = jax.device_put(PartitionTable(
+        table_np = PartitionTable(
             z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),
-            z["ids"].astype(np.int32), z["counts"].astype(np.int32)))
+            z["ids"].astype(np.int32), z["counts"].astype(np.int32))
+        self._table_host = table_np
+        self.table = jax.device_put(table_np)
         self._row_ids = z["row_ids"].astype(np.int64)
         self._dense = bool(z["dense"])
         self._n_rows = int(z["n_rows"])

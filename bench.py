@@ -439,6 +439,21 @@ def main():
             "n": n, "d": d, "queries": q, "platform": platform,
             "corpus": corpus_kind,
             "storage_dtype": dtype, "encode_backend": encode_backend,
+            # the operating point, so the artifact is reproducible from
+            # the JSON alone (round 5: the 960-d row's m/L had to be
+            # recovered from the invocation log)
+            "operating_point": {
+                "routing": cfg.runtime.routing_mode,
+                "m": cfg.paper.m,
+                "code_bits": cfg.paper.num_groups * cfg.paper.code_bits,
+                "probes": cfg.runtime.probe_override,
+                "rerank_limit": cfg.runtime.rerank_limit,
+                "refinement_limit": cfg.runtime.refinement_limit,
+                "adaptive_decrypt_margin":
+                    cfg.runtime.adaptive_decrypt_margin,
+                "block_size": cfg.runtime.block_size,
+                "batch": batch,
+            },
         }))
         sys_.shutdown()
     finally:

@@ -320,6 +320,12 @@ def main():
             cfg = dataclasses.replace(
                 cfg, runtime=dataclasses.replace(
                     cfg.runtime, routing_mode=routing_env))
+        wide_env = os.environ.get("BENCH_WIDE")
+        if wide_env is not None:     # 1/auto/on/off — full code-prefix
+            cfg = dataclasses.replace(  # partition order past 63-bit keys
+                cfg, runtime=dataclasses.replace(
+                    cfg.runtime,
+                    wide_keys={"1": "auto"}.get(wide_env, wide_env)))
         _install_build_stage_timers()
         host_bw_start = _host_bw_probe()
         log(f"host DRAM bandwidth probe (pre-build): {host_bw_start:.3f} GB/s")
@@ -452,6 +458,7 @@ def main():
                 "adaptive_decrypt_margin":
                     cfg.runtime.adaptive_decrypt_margin,
                 "block_size": cfg.runtime.block_size,
+                "wide_keys": cfg.runtime.wide_keys,
                 "batch": batch,
             },
         }))

@@ -146,6 +146,21 @@ class RuntimeConfig:
     # or the host is close to the arenas); "device" ships [Q,R,d] to the
     # chip and uses the fused refine kernel (right on local-PCIe TPUs).
     refine_backend: str = "host"
+    # Partition sort-key width: "off" = reference-exact 63-bit keys
+    # (GreedyPartitioner.computeKey truncates codes past bit 62 — at
+    # lambda*m > 63 the partition order is arbitrary within 63-bit ties);
+    # "on"/"auto" add a secondary key with code bits 63..125 so the order
+    # is the full code-prefix order up to 126 bits ("auto" activates it
+    # exactly when lambda*m > 63, i.e. whenever it changes anything).
+    # Round-5 diagnostic: the full order recovers the entire lambda=3
+    # truncation loss on the glove family (diag_lambda3.jsonl).
+    wide_keys: str = "off"
+
+    def wide_keys_active(self, code_bits: int) -> bool:
+        """Resolve the wide-key mode for a per-group code width."""
+        if self.wide_keys == "on":
+            return True
+        return self.wide_keys == "auto" and code_bits > 63
 
     @property
     def hard_cap(self) -> int:
@@ -266,6 +281,9 @@ class SystemConfig:
         if rt.mesh_merge not in ("ici", "host"):
             raise ValueError(f"mesh_merge must be ici/host, "
                              f"got {rt.mesh_merge!r}")
+        if rt.wide_keys not in ("auto", "on", "off"):
+            raise ValueError(f"wide_keys must be auto/on/off, "
+                             f"got {rt.wide_keys!r}")
         if rt.adaptive_decrypt_margin < 0:
             raise ValueError("adaptive_decrypt_margin must be >= 0")
         if rt.adaptive_decrypt_margin > 0:
@@ -323,6 +341,7 @@ _FIELD_ALIASES = {
     "scanFlatBudgetMb": "scan_flat_budget_mb",
     "scanPacked": "scan_packed",
     "scanNative": "scan_native",
+    "wideKeys": "wide_keys",
     "adaptiveDecryptMargin": "adaptive_decrypt_margin",
     "adaptiveDecryptAnchor": "adaptive_decrypt_anchor",
     "adaptiveDecryptFloor": "adaptive_decrypt_floor",

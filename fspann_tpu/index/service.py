@@ -277,6 +277,7 @@ class PartitionedIndex:
                 self._scan_state = self._make_scan_state(self._scan_codes)
                 jax.block_until_ready(self._scan_state)
             self.finalize_sec["scan_upload"] = time.perf_counter() - t0
+        wide = self._wide_keys()
         if self.cfg.runtime.encode_backend == "cpu":
             # sort/build on the host too (numpy), then ship the compact
             # table to the session device in one transfer
@@ -284,7 +285,7 @@ class PartitionedIndex:
             table = partition.build_partitions_numpy(
                 np.ascontiguousarray(np.transpose(keys, (1, 0))),
                 np.ascontiguousarray(np.transpose(codes, (1, 0, 2))),
-                self.cfg.runtime.block_size)
+                self.cfg.runtime.block_size, wide=wide)
             self.finalize_sec["table_build"] = time.perf_counter() - t0
             self._table_host = table
             t0 = time.perf_counter()
@@ -295,7 +296,7 @@ class PartitionedIndex:
             codes_gn = jnp.asarray(np.transpose(codes, (1, 0, 2)))
             keys_gn = jnp.asarray(np.transpose(keys, (1, 0)))
             self.table = jax.block_until_ready(partition.build_partitions(
-                keys_gn, codes_gn, self.cfg.runtime.block_size))
+                keys_gn, codes_gn, self.cfg.runtime.block_size, wide=wide))
             self.finalize_sec["table_build"] = time.perf_counter() - t0
         self._n_rows = len(ids)
         self._codes.clear(); self._keys.clear(); self._ids.clear()
@@ -656,6 +657,11 @@ class PartitionedIndex:
             return self._n_rows - 1
         return int(self._row_ids.max(initial=-1))
 
+    def _wide_keys(self) -> bool:
+        """Resolve ``runtime.wide_keys`` against this index's code width
+        (ops/partition — full code-prefix order past the 63-bit key)."""
+        return self.cfg.runtime.wide_keys_active(self.cfg.paper.code_bits)
+
     # -- table checkpoint ---------------------------------------------------------
 
     def save_table(self, path: str) -> None:
@@ -677,6 +683,9 @@ class PartitionedIndex:
             extra["point_codes"] = self._codes_host
         elif self.point_codes is not None:
             extra["point_codes"] = np.asarray(self.point_codes)
+        if t.min_key2 is not None:
+            extra["min_key2"] = np.asarray(t.min_key2)
+            extra["max_key2"] = np.asarray(t.max_key2)
         np.savez(tmp,
                  min_key=np.asarray(t.min_key), max_key=np.asarray(t.max_key),
                  rep_codes=np.asarray(t.rep_codes), ids=np.asarray(t.ids),
@@ -725,9 +734,14 @@ class PartitionedIndex:
                 self._scan_codes = codes
                 self._scan_state = None if self._native_preferred() \
                     else self._make_scan_state(codes)
+        saved_wide = "min_key2" in z.files
+        if saved_wide != self._wide_keys():
+            return False   # key-width mismatch: decrypt-and-rebuild
         table_np = PartitionTable(
             z["min_key"], z["max_key"], z["rep_codes"].astype(np.uint32),
-            z["ids"].astype(np.int32), z["counts"].astype(np.int32))
+            z["ids"].astype(np.int32), z["counts"].astype(np.int32),
+            z["min_key2"] if saved_wide else None,
+            z["max_key2"] if saved_wide else None)
         self._table_host = table_np
         self.table = jax.device_put(table_np)
         self._row_ids = z["row_ids"].astype(np.int64)

@@ -221,6 +221,44 @@ def keys_from_codes(codes: jax.Array) -> jax.Array:
     return w0 << 31
 
 
+def keys2_from_codes(codes: jax.Array) -> jax.Array:
+    """Secondary sort key: code bits 63..125 (the bits the 63-bit primary
+    key truncates), MSB-first — ``key2 bit 62-(p-63) = code bit p``.
+
+    The reference's ``computeKey`` (GreedyPartitioner.java:87-96) keeps only
+    the first 63 code bits, so at ``m*lam > 63`` (e.g. lambda=3 ladders, or
+    the m=64 scan-parity geometry's 128-bit codes) the partition order is
+    arbitrary within 63-bit ties.  Round-5 diagnostic
+    (bench_results/diag_lambda3.jsonl): on the glove family at lambda=3 the
+    full-code order recovers the ENTIRE truncation loss (r@100 0.5752 →
+    0.6817 ≡ the lambda=2 point).  Sorting by the (key, key2) pair restores
+    the exact code-prefix order up to 126 bits; for ``m*lam <= 63`` the
+    packing pads with zeros so key2 == 0 everywhere and the pair order
+    degenerates to the reference order (``runtime.wide_keys`` gates use).
+
+    With MSB-first word packing (code bit ``p`` at bit ``31 - p%32`` of
+    word ``p//32``): bit 63 is word1's LSB, bits 64..95 are word2, bits
+    96..125 the top 30 bits of word3.
+    """
+    w = codes.shape[-1]
+    z = jnp.zeros_like(codes[..., 0])
+    w1 = codes[..., 1] if w > 1 else z
+    w2 = codes[..., 2] if w > 2 else z
+    w3 = codes[..., 3] if w > 3 else z
+    return ((w1.astype(jnp.int64) & 1) << 62) \
+        | (w2.astype(jnp.int64) << 30) | (w3.astype(jnp.int64) >> 2)
+
+
+def keys2_from_codes_numpy(codes: "np.ndarray") -> "np.ndarray":
+    """Numpy twin of :func:`keys2_from_codes` (host build path)."""
+    w = codes.shape[-1]
+    z = np.zeros(codes.shape[:-1], np.int64)
+    w1 = codes[..., 1].astype(np.int64) if w > 1 else z
+    w2 = codes[..., 2].astype(np.int64) if w > 2 else z
+    w3 = codes[..., 3].astype(np.int64) if w > 3 else z
+    return ((w1 & 1) << 62) | (w2 << 30) | (w3 >> 2)
+
+
 def h1(x: jax.Array, bank: GBank) -> jax.Array:
     """Collapse multi-projection H into one int32 hash per (vector, group)
     via 31x+h mixing (reference Coding.H1:264-271) — a cheap bucketing hash

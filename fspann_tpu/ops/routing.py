@@ -34,6 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .coding import keys2_from_codes
 from .hamming import hamming
 from .partition import PartitionTable
 
@@ -55,16 +56,28 @@ class RouteResult(NamedTuple):
     n_dec: jax.Array | None = None
 
 
-def find_center(table: PartitionTable, qkeys: jax.Array) -> jax.Array:
+def find_center(table: PartitionTable, qkeys: jax.Array,
+                qkeys2: jax.Array | None = None) -> jax.Array:
     """Containing-or-closest partition per (query, group).
 
     ``qkeys``: int64 [Q, G] → int32 [Q, G] partition index.
     Vectorized equivalent of GreedyPartitioner.findNearestPartition:101-124:
     ``below`` (count of blocks entirely below the key) is the binary-search
     insertion point; then containment test, else closest flanking range.
+
+    When the table was built wide (``min_key2`` present) and ``qkeys2`` is
+    given, every comparison is over the lexicographic (key, key2) pair —
+    the full 126-bit code-prefix order (coding.keys2_from_codes).
     """
+    wide = table.min_key2 is not None and qkeys2 is not None
     g, p = table.min_key.shape
     garange = jnp.arange(g, dtype=jnp.int32)[None]                # [1, G]
+
+    def pair_ge(a1, a2, b1, b2):
+        if not wide:
+            return a1 >= b1
+        return (a1 > b1) | ((a1 == b1) & (a2 >= b2))
+
     # `below` = count of blocks with max_key < qk, via vectorized binary
     # search: log2(P) gather steps of [Q, G] instead of materializing a
     # [Q, G, P] comparison (180MB+ per batch at 10M-corpus scale)
@@ -75,21 +88,41 @@ def find_center(table: PartitionTable, qkeys: jax.Array) -> jax.Array:
     def bs_step(_, carry):
         lo_, hi_ = carry
         mid = (lo_ + hi_) // 2
-        v = table.max_key[garange, jnp.minimum(mid, p - 1)]
-        ge = v >= qkeys
+        c = jnp.minimum(mid, p - 1)
+        v = table.max_key[garange, c]
+        v2 = table.max_key2[garange, c] if wide else None
+        ge = pair_ge(v, v2, qkeys, qkeys2)
         return (jnp.where(ge, lo_, mid + 1), jnp.where(ge, mid, hi_))
 
     lo, hi = jax.lax.fori_loop(0, steps, bs_step, (lo, hi))
     below = lo
     c0 = jnp.minimum(below, p - 1)
     min_c0 = table.min_key[garange, c0]                           # [Q, G]
-    inside = (below < p) & (min_c0 <= qkeys)
+    min2_c0 = table.min_key2[garange, c0] if wide else None
+    inside = (below < p) & pair_ge(qkeys, qkeys2, min_c0, min2_c0)
 
     left = jnp.maximum(below - 1, 0)
     max_left = table.max_key[garange, left]
-    dl = qkeys - max_left
-    dr = min_c0 - qkeys
-    mid = jnp.where(dl <= dr, left, c0)
+    if wide:
+        # closest flanking range under the 126-bit combined value:
+        # |d| = d1*2^63 + d2 with both segments 63-bit non-negative; after
+        # a borrow-normalization (d2 < 0 → d1-1, d2+2^63 — the +2^63 is an
+        # int64 sign-bit flip) the pair compares lexicographically exactly.
+        max2_left = table.max_key2[garange, left]
+
+        def pair_diff(a1, a2, b1, b2):
+            d1 = a1 - b1
+            d2 = a2 - b2
+            borrow = d2 < 0
+            return (jnp.where(borrow, d1 - 1, d1),
+                    jnp.where(borrow, d2 ^ jnp.int64(-2 ** 63), d2))
+
+        dl1, dl2 = pair_diff(qkeys, qkeys2, max_left, max2_left)
+        dr1, dr2 = pair_diff(min_c0, min2_c0, qkeys, qkeys2)
+        dl_le = (dl1 < dr1) | ((dl1 == dr1) & (dl2 <= dr2))
+    else:
+        dl_le = (qkeys - max_left) <= (min_c0 - qkeys)
+    mid = jnp.where(dl_le, left, c0)
     fallback = jnp.where(below <= 0, 0, jnp.where(below >= p, p - 1, mid))
     return jnp.where(inside, c0, fallback).astype(jnp.int32)
 
@@ -143,7 +176,11 @@ def _route_dedup(table: PartitionTable, qcodes: jax.Array, qkeys: jax.Array,
     v = 2 * max_probes - 1
     garange = jnp.arange(g, dtype=jnp.int32)[None, :, None]       # [1, G, 1]
 
-    center = find_center(table, qkeys)                            # [Q, G]
+    # wide-key tables carry bits 63..125 boundaries; the matching query
+    # secondary keys derive from the codes already in hand — callers never
+    # thread them explicitly
+    qkeys2 = keys2_from_codes(qcodes) if table.min_key2 is not None else None
+    center = find_center(table, qkeys, qkeys2)                    # [Q, G]
     offs = jnp.arange(-(max_probes - 1), max_probes, dtype=jnp.int32)
     widx_raw = center[..., None] + offs                           # [Q, G, V]
     in_range = (widx_raw >= 0) & (widx_raw < p)

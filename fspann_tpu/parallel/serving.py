@@ -103,8 +103,10 @@ class DistributedEncryptedSystem:
         bank = coding.build_bank_from_sample(
             base[:sample], pp.m, pp.lam, pp.tables, pp.divisions, pp.seed,
             pp.omega_divisor)
-        self.index = ShardedIndex(self.mesh, bank,
-                                  block_size=self.cfg.runtime.block_size)
+        self.index = ShardedIndex(
+            self.mesh, bank, block_size=self.cfg.runtime.block_size,
+            wide_keys=self.cfg.runtime.wide_keys_active(
+                self.cfg.paper.code_bits))
         rt = self.cfg.runtime
         self.index.merge_backend = rt.mesh_merge
         rows = -(-max(self.n, capacity or 0) // self.ndev)
@@ -185,8 +187,9 @@ class DistributedEncryptedSystem:
         bank = coding.build_bank_from_sample(
             sample_rows, pp.m, pp.lam, pp.tables, pp.divisions, pp.seed,
             pp.omega_divisor)
-        self.index = ShardedIndex(self.mesh, bank,
-                                  block_size=rt.block_size)
+        self.index = ShardedIndex(
+            self.mesh, bank, block_size=rt.block_size,
+            wide_keys=rt.wide_keys_active(self.cfg.paper.code_bits))
         self.index.merge_backend = rt.mesh_merge
 
         def feed():

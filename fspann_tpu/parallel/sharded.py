@@ -97,11 +97,15 @@ def host_merge_topl(ids, sc, limit: int):
 class ShardedIndex:
     """Plaintext corpus sharded over a mesh with per-shard partition tables."""
 
-    def __init__(self, mesh: Mesh, bank: coding.GBank, block_size: int = 64):
+    def __init__(self, mesh: Mesh, bank: coding.GBank, block_size: int = 64,
+                 wide_keys: bool = False):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.bank = bank
         self.block_size = block_size
+        # full code-prefix partition order past the 63-bit key
+        # (ops/partition.build_partitions(wide=); runtime.wide_keys)
+        self.wide_keys = wide_keys
         self.n_devices = mesh.devices.size
         self.table: PartitionTable | None = None
         self.base: jax.Array | None = None
@@ -204,6 +208,7 @@ class ShardedIndex:
 
         bank = self.bank
         block = self.block_size
+        wide = self.wide_keys
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=P(self.axis), out_specs=(P(self.axis), P(self.axis)))
@@ -211,7 +216,7 @@ class ShardedIndex:
             codes, keys = coding.encode(vecs, bank)                  # local N
             table = partition.build_partitions(
                 jnp.transpose(keys, (1, 0)),
-                jnp.transpose(codes, (1, 0, 2)), block)
+                jnp.transpose(codes, (1, 0, 2)), block, wide=wide)
             # leading axis of each field must be the sharded one for
             # out_specs; stack under a fresh leading axis per shard
             return jax.tree.map(lambda x: x[None], table), codes
@@ -295,6 +300,7 @@ class ShardedIndex:
         keys_global = jax.make_array_from_single_device_arrays(
             (rows * nd, g), shard, per_dev_keys)
         block = self.block_size
+        wide = self.wide_keys
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(self.axis), P(self.axis)),
@@ -302,7 +308,7 @@ class ShardedIndex:
         def build_local(keys_l, codes_l):
             table = partition.build_partitions(
                 jnp.transpose(keys_l, (1, 0)),
-                jnp.transpose(codes_l, (1, 0, 2)), block)
+                jnp.transpose(codes_l, (1, 0, 2)), block, wide=wide)
             return jax.tree.map(lambda x: x[None], table)
 
         self.table = build_local(keys_global, codes_global)
@@ -378,6 +384,7 @@ class ShardedIndex:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez(tmp, codes=codes_np, n=self.n, shard_rows=self.shard_rows,
                  ndev=self.n_devices, block=self.block_size,
+                 wide=self.wide_keys,
                  omega=np.asarray(self.bank.omega), r=np.asarray(self.bank.r),
                  m=self.bank.m, lam=self.bank.lam, tables=self.bank.tables,
                  divisions=self.bank.divisions, seed=self.bank.seed,
@@ -400,7 +407,8 @@ class ShardedIndex:
         bank = coding.bank_from_stats(
             z["omega"], z["r"], int(z["dim"]), int(z["m"]), int(z["lam"]),
             int(z["tables"]), int(z["divisions"]), int(z["seed"]))
-        idx = cls(mesh, bank, block_size=int(z["block"]))
+        idx = cls(mesh, bank, block_size=int(z["block"]),
+                  wide_keys=bool(z["wide"]) if "wide" in z.files else False)
         idx.n = int(z["n"])
         rows = int(z["shard_rows"])
         idx.shard_rows = rows
@@ -415,6 +423,7 @@ class ShardedIndex:
 
         axis = idx.axis
         block = idx.block_size
+        wide = idx.wide_keys
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=P(axis), out_specs=P(axis))
@@ -422,7 +431,7 @@ class ShardedIndex:
             keys_l = coding.keys_from_codes(codes_l)
             table = partition.build_partitions(
                 jnp.transpose(keys_l, (1, 0)),
-                jnp.transpose(codes_l, (1, 0, 2)), block)
+                jnp.transpose(codes_l, (1, 0, 2)), block, wide=wide)
             return jax.tree.map(lambda x: x[None], table)
 
         idx.table = build_local(codes_global)

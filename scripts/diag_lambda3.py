@@ -31,7 +31,16 @@ This script quantifies, at λ=2 vs λ=3 on the calibrated family instance:
 
 Usage: JAX_PLATFORMS=cpu python scripts/diag_lambda3.py [glove|redcaps]
 Env: DIAG_N (200_000), DIAG_NQ (200), DIAG_OUT
-     (bench_results/diag_lambda3.jsonl)
+     (bench_results/diag_lambda3.jsonl),
+     DIAG_OMEGA_SCALE (1.0) — scale the fitted omega DOWN to widen the
+     per-projection h-spread: the h-spread hypothesis test for the
+     redcaps lambda=3 response (real RedCaps gains x1.63 at lambda=3
+     while the calibrated instance is flat; if the gain appears once h
+     spans >= 8 buckets, the gap is instance h-spread, not mechanism).
+Round-5 addendum: each lam=3 row also measures the PRODUCTION wide-keys
+path (runtime.wide_keys — build_partitions(wide=True) + pair-aware
+find_center) as ``routing_recall_at_100_wide``, alongside the forged
+rank-key upper bound ``..._untruncated_key``.
 """
 
 import json
@@ -144,11 +153,16 @@ def main():
     gt = gtm.gt
     print(f"corpus+gt {time.time()-t0:.0f}s", flush=True)
 
+    omega_scale = float(os.environ.get("DIAG_OMEGA_SCALE", 1.0))
     for lam in (2, 3):
         t0 = time.time()
         bank = coding.build_bank_from_sample(
             base[:SAMPLE], geom["m"], lam, geom["tables"],
             geom["divisions"], seed=13)
+        if omega_scale != 1.0:
+            import dataclasses
+            bank = dataclasses.replace(
+                bank, omega=bank.omega * np.float32(omega_scale))
         codes, keys = coding.encode_numpy(base, bank)
         codes_q, keys_q = coding.encode_numpy(queries, bank)
 
@@ -171,6 +185,16 @@ def main():
         table = partition.build_partitions_numpy(keys_gn, codes_gn, BLOCK)
         r100 = routing_recall(table, codes_q, keys_q, base, queries, gt,
                               geom["probes"], geom["refinement"])
+
+        r100_wide = None
+        if lam * geom["m"] > 63:
+            # the shipped wide-keys path (runtime.wide_keys): pair order at
+            # build, query keys2 derived from codes inside routing.route
+            table_w = partition.build_partitions_numpy(
+                keys_gn, codes_gn, BLOCK, wide=True)
+            r100_wide = routing_recall(table_w, codes_q, keys_q, base,
+                                       queries, gt, geom["probes"],
+                                       geom["refinement"])
 
         r100_full = None
         if lam * geom["m"] > 63:
@@ -248,7 +272,10 @@ def main():
               "h_range_p50": float(spread[0]), "h_range_p99": float(spread[1]),
               "h_hist_from_min": [round(v, 4) for v in hist_vals],
               "distinct_key_frac": round(float(distinct), 4),
+              "omega_scale": omega_scale,
               "routing_recall_at_100": round(r100, 4),
+              "routing_recall_at_100_wide":
+                  None if r100_wide is None else round(r100_wide, 4),
               "routing_recall_at_100_untruncated_key":
                   None if r100_full is None else round(r100_full, 4),
               "gt10_min_probe_dist_p50": float(np.median(min_dist)),

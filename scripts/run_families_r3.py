@@ -47,11 +47,13 @@ FAMILIES = {
     "glove": dict(d=100, cfg="glove100.json",
                   profiles=["GLOVE_P4_FAST", "GLOVE_P6_BALANCED",
                             "GLOVE_TABLES8", "GLOVE_LAMBDA3",
+                            "GLOVE_LAMBDA3_WIDE",
                             "GLOVE_DIV10_FINE", "GLOVE_SCAN",
                             "GLOVE_SCAN_HQ"]),
     "redcaps": dict(d=512, cfg="redcaps.json",
                     profiles=["REDCAPS_P4_FAST", "REDCAPS_P6_BASE",
                               "REDCAPS_P10_HIGH", "REDCAPS_LAMBDA3",
+                              "REDCAPS_LAMBDA3_WIDE",
                               "REDCAPS_M30", "REDCAPS_DIV6",
                               "REDCAPS_SCAN", "REDCAPS_SCAN_HQ"]),
     "gist": dict(d=960, cfg="gist1m.json",
